@@ -1,0 +1,93 @@
+"""Shared utilities (reference: landiff/utils.py).
+
+Pure-JAX / stdlib; no torch at runtime.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import os
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger("landiff_tpu")
+
+
+def stable_hash(key: str) -> int:
+    """Run-stable hash (reference utils.py:317-324): first 20 hex digits of
+    sha256, as an int. Used to derive per-prompt seeds."""
+    return int(hashlib.sha256(key.encode()).hexdigest()[:20], 16)
+
+
+def seed_from_text(text: str, seed: int) -> int:
+    """Combined seed used by the diffusion stage (dif_infer.py:190-194)."""
+    return (stable_hash(text) + seed) % (2**31)
+
+
+def top_p_filter_probs(probs: jax.Array, top_p: float) -> jax.Array:
+    """Nucleus filtering over a probability vector (utils.py:345-360).
+
+    Keeps the smallest prefix of descending-sorted probs whose cumsum is
+    < top_p, always keeping the top-1; renormalizes. Jit-safe.
+    """
+    sorted_probs = jnp.sort(probs, axis=-1)[..., ::-1]
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    # reference: remove where shifted cumsum >= top_p (first element kept)
+    remove_sorted = cum >= top_p
+    remove_sorted = jnp.concatenate(
+        [jnp.zeros_like(remove_sorted[..., :1]), remove_sorted[..., :-1]], axis=-1)
+    # threshold value: smallest kept prob
+    kept = jnp.where(remove_sorted, jnp.inf, sorted_probs)
+    thresh = jnp.min(kept, axis=-1, keepdims=True)
+    out = jnp.where(probs >= thresh, probs, 0.0)
+    return out / jnp.sum(out, axis=-1, keepdims=True)
+
+
+def top_k_filter_logits(logits: jax.Array, k: int) -> jax.Array:
+    """Standard top-k: logits below the k-th largest -> -inf. k<=0 disables.
+    Note `k` must be static under jit."""
+    if k <= 0:
+        return logits
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, -jnp.inf, logits)
+
+
+def cthw_to_uint8(video: np.ndarray) -> np.ndarray:
+    """(C,T,H,W) float in [0,1] -> (T,H,W,C) uint8 (utils.py:328-332)."""
+    assert video.ndim == 4
+    imgs = np.transpose(np.asarray(video), (1, 2, 3, 0)) * 255.0
+    return np.clip(imgs, 0, 255).astype(np.uint8)
+
+
+def save_video_tensor(video, video_path: str, fps: int = 8) -> None:
+    """Write a (C,T,H,W) float video in [0,1] to mp4 (utils.py:334-343)."""
+    import imageio
+
+    images = cthw_to_uint8(np.asarray(video))
+    path = Path(video_path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "wb") as f:
+        with imageio.get_writer(f, format="mp4", fps=fps) as writer:
+            for image in images:
+                writer.append_data(image)
+
+
+def count_params(params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+
+
+def tree_cast(params, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        params)
+
+
+def env_flag(name: str, default: bool = False) -> bool:
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    return v.lower() not in ("0", "false", "no", "")
