@@ -147,7 +147,7 @@ class TiTokConfig:
     num_layers: int = 12
     num_heads: int = 12
     mlp_ratio: float = 4.0
-    token_size: int = 16          # VQ codebook_dim projection
+    token_size: int = 768         # encoder output dim (VQ projects to 16)
     grid_h: int = 30
     grid_w: int = 45
     temporal_size: int = 13
@@ -269,6 +269,7 @@ class SemanticCondConfig:
     upsample_ch: int = 512       # VQGAN-style upsampler base ch
     ch_mult: tuple[float, ...] = (0.25, 1.0)
     num_res_blocks: int = 4
+    up_out_channels: int = 64    # upsampler out_ch (yaml out_ch: 64)
     out_channels: int = 16       # DiT latent channels
 
 
@@ -321,7 +322,7 @@ def tiny_test_config() -> LanDiffConfig:
         tokenizer=TokenizerConfig(
             theia=TheiaConfig(image_size=32, patch_size=16, hidden_size=32,
                               num_layers=2, num_heads=2, output_grid=(4, 6)),
-            titok=TiTokConfig(width=32, num_layers=2, num_heads=2, token_size=4,
+            titok=TiTokConfig(width=32, num_layers=2, num_heads=2, token_size=32,
                               grid_h=4, grid_w=6, temporal_size=3,
                               iframe_latent_tokens=6, pframe_latent_tokens=2,
                               rope=Rope3DConfig(dim=16, max_time=8, max_height=4,
@@ -339,7 +340,8 @@ def tiny_test_config() -> LanDiffConfig:
         vae=VAEConfig(ch=8, ch_mult=(1, 2), num_res_blocks=1, z_channels=4,
                       temporal_compress_level=1, norm_num_groups=4),
         semantic_cond=SemanticCondConfig(z_channels=32, upsample_ch=16,
-                                         num_res_blocks=1, out_channels=4),
+                                         num_res_blocks=1, up_out_channels=8,
+                                         out_channels=4),
     )
 
 

@@ -1,0 +1,149 @@
+"""Samplers: VPSDE-DPM++2M (the LanDiff default) and Video-DDIM, as pure
+scan loops over host-precomputed f64 coefficient tables.
+
+Reference: sgm/modules/diffusionmodules/sampling.py — VideoDDIMSampler
+(:538-675), VPSDEDPMPP2MSampler (:678-837). The reference's per-step Python
+loop with tqdm becomes one `lax.scan` over stacked per-step coefficients;
+the `fixed_frames` prefix splice (the streaming/long-video mechanism,
+:800-817, 834-836) happens inside the scan body.
+
+denoise_fn contract (provided by the engine):
+    denoised = denoise_fn(x, step) -> fp32 array like x
+where `step` is a dict of per-step scalars:
+    {"alpha": f32, "timestep": i32, "idx": i32, "cfg_scale": f32}
+The engine closes over cond/uc and implements CFG batching + the
+DiscreteDenoiser wrapping (denoiser.py:25-77).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from landiff_tpu.config import SamplerConfig
+from landiff_tpu.diffusion import schedule as sched
+
+
+def _per_step_arrays(cfg: SamplerConfig):
+    t = sched.sampler_tables(cfg)
+    n = cfg.num_steps
+    m1 = np.zeros(n)
+    m2 = np.zeros(n)
+    m3 = np.zeros(n)
+    m4 = np.zeros(n)
+    mn = np.zeros(n)
+    first_order = np.zeros(n, bool)
+    for i in range(n):
+        a, an, ap = t["alpha"][i], t["alpha_next"][i], t["alpha_prev"][i]
+        c1, c2, c3, c4, cn = sched.dpmpp2m_coeffs(a, an, ap)
+        m1[i], m2[i], mn[i] = c1, c2, cn
+        if c3 is None or an < 1e-14:
+            first_order[i] = True
+        else:
+            m3[i], m4[i] = c3, c4
+    return t, {
+        "m1": m1, "m2": m2, "m3": m3, "m4": m4, "mn": mn,
+        "first_order": first_order,
+        "is_last": t["idx"] == 1,
+        "alpha": t["alpha"],
+        "timestep": t["timestep"],
+        "idx": t["idx"],
+        "cfg_scale": t["cfg_scale"],
+    }
+
+
+def vpsde_dpmpp2m_sample(
+    denoise_fn: Callable,
+    x: jax.Array,
+    cfg: SamplerConfig,
+    *,
+    key: jax.Array,
+    fixed_frames: int = 0,
+    sdedit: bool = False,
+) -> jax.Array:
+    """DPM-Solver++(2M) SDE in VP parameterization.
+
+    Args:
+      x: (B, T, C, H, W) — initial noise; if fixed_frames > 0, x[:, :f] are
+        the clean prefix latents (spliced back every step).
+    """
+    _, c = _per_step_arrays(cfg)
+    n = cfg.num_steps
+    dev = lambda a, dt=jnp.float32: jnp.asarray(a, dt)
+    coeffs = {k: dev(v, jnp.float32 if v.dtype != bool else jnp.bool_)
+              for k, v in c.items() if k not in ("timestep", "idx")}
+    coeffs["timestep"] = dev(c["timestep"], jnp.int32)
+    coeffs["idx"] = dev(c["idx"], jnp.int32)
+
+    prefix = x[:, :fixed_frames] if fixed_frames > 0 else None
+    x = x.astype(jnp.float32)
+
+    def body(carry, step):
+        x, old_d, key = carry
+        key, k_noise, k_prefix = jax.random.split(key, 3)
+        if prefix is not None:
+            if sdedit:
+                rd = jax.random.normal(k_prefix, prefix.shape, jnp.float32)
+                noised = (step["alpha"] * prefix
+                          + rd * jnp.sqrt(1.0 - step["alpha"] ** 2))
+                x = jnp.concatenate([noised, x[:, fixed_frames:]], axis=1)
+            else:
+                x = jnp.concatenate([prefix, x[:, fixed_frames:]], axis=1)
+        denoised = denoise_fn(x, step).astype(jnp.float32)
+        noise = jax.random.normal(k_noise, x.shape, jnp.float32)
+        x_std = step["m1"] * x - step["m2"] * denoised + step["mn"] * noise
+        denoised_d = step["m3"] * denoised - step["m4"] * old_d
+        x_adv = step["m1"] * x - step["m2"] * denoised_d + step["mn"] * noise
+        x_new = jnp.where(step["first_order"], x_std, x_adv)
+        x_new = jnp.where(step["is_last"], denoised, x_new)
+        return (x_new, denoised, key), None
+
+    (x, _, _), _ = jax.lax.scan(body, (x, jnp.zeros_like(x), key), coeffs,
+                                length=n)
+    if prefix is not None:
+        x = jnp.concatenate([prefix, x[:, fixed_frames:]], axis=1)
+    return x
+
+
+def video_ddim_sample(
+    denoise_fn: Callable,
+    x: jax.Array,
+    cfg: SamplerConfig,
+    *,
+    key: jax.Array | None = None,
+    fixed_frames: int = 0,
+) -> jax.Array:
+    """Deterministic Video-DDIM (sampling.py:611-621):
+    x <- a_t x + b_t denoised with a_t = sqrt((1-an^2)/(1-a^2)),
+    b_t = an - a*a_t."""
+    t = sched.sampler_tables(cfg)
+    n = cfg.num_steps
+    a = t["alpha"]
+    an = t["alpha_next"]
+    a_t = np.sqrt((1 - an ** 2) / (1 - a ** 2))
+    b_t = an - a * a_t
+    coeffs = {
+        "a_t": jnp.asarray(a_t, jnp.float32),
+        "b_t": jnp.asarray(b_t, jnp.float32),
+        "alpha": jnp.asarray(t["alpha"], jnp.float32),
+        "timestep": jnp.asarray(t["timestep"], jnp.int32),
+        "idx": jnp.asarray(t["idx"], jnp.int32),
+        "cfg_scale": jnp.asarray(t["cfg_scale"], jnp.float32),
+    }
+    prefix = x[:, :fixed_frames] if fixed_frames > 0 else None
+    x = x.astype(jnp.float32)
+
+    def body(carry, step):
+        x = carry
+        if prefix is not None:
+            x = jnp.concatenate([prefix, x[:, fixed_frames:]], axis=1)
+        denoised = denoise_fn(x, step).astype(jnp.float32)
+        return step["a_t"] * x + step["b_t"] * denoised, None
+
+    x, _ = jax.lax.scan(body, x, coeffs, length=n)
+    if prefix is not None:
+        x = jnp.concatenate([prefix, x[:, fixed_frames:]], axis=1)
+    return x

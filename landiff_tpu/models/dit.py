@@ -1,0 +1,297 @@
+"""CogVideoX-2b DiT (main 30-layer + ControlNet-style 15-layer branch).
+
+Reference: landiff/diffusion/dit_video_concat.py — the SAT BaseModel +
+mixin-hook indirection is flattened into one direct functional module (the
+hooks were an artifact of patching a pretrained SAT model, SURVEY §7):
+
+  - ImagePatchEmbeddingMixin (:25-68): per-frame conv2d patchify (p=2) +
+    text_proj(4096->1920), sequence = [text(226) | video(13*30*45=17550)]
+  - Basic3DPositionEmbeddingMixin (:200-246): frozen 3-D sincos table,
+    temporal D/4 + spatial 3D/4, h/w interpolation 1.875; zeros on text part
+  - AdaLNMixin (:490-664): per-layer 12-way modulation (img/text x
+    shift/scale/gate x msa/mlp), one full self-attention over the concat
+    sequence with per-layer qk-LayerNorm (head_dim, eps 1e-6, affine)
+  - SAT layer internals: fused query_key_value(+bias) split [q|k|v],
+    scale 1/sqrt(hd), dense(+bias); mlp 1920->7680 gelu(tanh) ->1920(+bias);
+    input/post_attention layernorms eps 1e-6 affine
+  - final: SAT final_layernorm on full seq, then FinalLayerMixin (:413-460)
+    norm + 2-way adaLN modulate + linear + unpatchify
+  - ControlDiffusionTransformer (:912-1027): 15-layer copy; adds the
+    semantic feature to the input latent; ControlOutAdaLNMixin (:1203-1238)
+    maps each layer output through a zero-init bias-free linear (note: the
+    zero linear REPLACES the stream, not just the tap); returns all layer
+    outputs
+  - ControlAdaLNMixin (:1241-1372): main layer i<15 adds control output i
+    to the FULL hidden sequence (text included — SAT dict path :1355-1368)
+
+num_classes is unset in the released config -> no label_emb / y.
+Compute dtype bf16 (infer_cfgs/2b.yaml:11); norms/softmax accumulate fp32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from landiff_tpu.config import DiTConfig
+from landiff_tpu.ops.attention import attention
+from landiff_tpu.ops.embeddings import timestep_embedding
+from landiff_tpu.ops.norms import layer_norm
+
+
+# ---------------------------------------------------------------------------
+# 3-D sincos position table (host, f64->f32; dit_video_concat.py:72-171)
+
+
+def _sincos_1d(embed_dim: int, pos: np.ndarray) -> np.ndarray:
+    omega = np.arange(embed_dim // 2, dtype=np.float64) / (embed_dim / 2.0)
+    omega = 1.0 / 10000 ** omega
+    out = np.einsum("m,d->md", pos.reshape(-1), omega)
+    return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+
+def get_3d_sincos_pos_embed(embed_dim, grid_h, grid_w, t_size,
+                            interp_h=1.0, interp_w=1.0, interp_t=1.0):
+    """(T, H*W, D): temporal D/4 block then spatial 3D/4 (h-half, w-half)."""
+    dim_sp = embed_dim // 4 * 3
+    dim_t = embed_dim // 4
+    gh = np.arange(grid_h, dtype=np.float32) / interp_h
+    gw = np.arange(grid_w, dtype=np.float32) / interp_w
+    # np.meshgrid(w, h) -> grid[0]=w varying, grid[1]=h; reference encodes
+    # h-half from grid[0] (w values!) per get_2d_sincos_pos_embed_from_grid
+    grid = np.stack(np.meshgrid(gw, gh), axis=0).reshape(2, 1, grid_h, grid_w)
+    emb_h = _sincos_1d(dim_sp // 2, grid[0])
+    emb_w = _sincos_1d(dim_sp // 2, grid[1])
+    pos_sp = np.concatenate([emb_h, emb_w], axis=1)          # (H*W, 3D/4)
+    gt = np.arange(t_size, dtype=np.float32) / interp_t
+    pos_t = _sincos_1d(dim_t, gt)                            # (T, D/4)
+    pos_t = np.repeat(pos_t[:, None, :], grid_h * grid_w, axis=1)
+    pos_sp = np.repeat(pos_sp[None, :, :], t_size, axis=0)
+    return np.concatenate([pos_t, pos_sp], axis=-1)          # (T, H*W, D)
+
+
+@functools.lru_cache(maxsize=4)
+def pos_embed_table(cfg: DiTConfig) -> np.ndarray:
+    """(text_length + T*n, D) float32; zeros over the text positions."""
+    h = cfg.latent_height // cfg.patch_size
+    w = cfg.latent_width // cfg.patch_size
+    pe = get_3d_sincos_pos_embed(cfg.hidden_size, h, w, cfg.latent_frames,
+                                 cfg.pos_interp_scale, cfg.pos_interp_scale)
+    pe = pe.reshape(-1, cfg.hidden_size)
+    out = np.zeros((cfg.text_length + pe.shape[0], cfg.hidden_size),
+                   np.float32)
+    out[cfg.text_length:] = pe
+    return out
+
+
+# ---------------------------------------------------------------------------
+# layers
+
+
+def _linear(p, name, x):
+    return x @ p[f"{name}_w"].astype(x.dtype) + p[f"{name}_b"].astype(x.dtype)
+
+
+def _modulate(x, shift, scale):
+    # modulate (dit_video_concat.py:388-390): shift/scale (B, D)
+    return x * (1.0 + scale[:, None]) + shift[:, None]
+
+
+def _layer(p, x, emb, cfg: DiTConfig, attn_impl):
+    """One AdaLN DiT layer over the concat [text|video] sequence."""
+    B, S, D = x.shape
+    tl = cfg.text_length
+    H, Dk = cfg.num_heads, cfg.head_dim
+    dt = x.dtype
+
+    # adaLN_modulation = Sequential(SiLU, Linear) (dit_video_concat.py:510-515)
+    mods = _linear(p, "adaln", jax.nn.silu(emb.astype(dt)))
+    (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp,
+     t_shift_msa, t_scale_msa, t_gate_msa, t_shift_mlp, t_scale_mlp,
+     t_gate_mlp) = jnp.split(mods, 12, axis=-1)
+
+    h = layer_norm(x, p["ln1_w"], p["ln1_b"], 1e-6)
+    h = jnp.concatenate([
+        _modulate(h[:, :tl], t_shift_msa, t_scale_msa),
+        _modulate(h[:, tl:], shift_msa, scale_msa)], axis=1)
+
+    qkv = _linear(p, "qkv", h)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(B, S, H, Dk)
+    k = k.reshape(B, S, H, Dk)
+    v = v.reshape(B, S, H, Dk)
+    if cfg.qk_ln:
+        q = layer_norm(q, p["q_ln_w"], p["q_ln_b"], 1e-6)
+        k = layer_norm(k, p["k_ln_w"], p["k_ln_b"], 1e-6)
+    attn = attention(q, k, v, impl=attn_impl).reshape(B, S, D)
+    attn = _linear(p, "attn_out", attn)
+    x = x + jnp.concatenate([t_gate_msa[:, None] * attn[:, :tl],
+                             gate_msa[:, None] * attn[:, tl:]], axis=1)
+
+    h = layer_norm(x, p["ln2_w"], p["ln2_b"], 1e-6)
+    h = jnp.concatenate([
+        _modulate(h[:, :tl], t_shift_mlp, t_scale_mlp),
+        _modulate(h[:, tl:], shift_mlp, scale_mlp)], axis=1)
+    h = jax.nn.gelu(_linear(p, "mlp0", h), approximate=True)
+    h = _linear(p, "mlp1", h)
+    x = x + jnp.concatenate([t_gate_mlp[:, None] * h[:, :tl],
+                             gate_mlp[:, None] * h[:, tl:]], axis=1)
+    return x
+
+
+def _embed_inputs(params, x, timesteps, context, cfg: DiTConfig,
+                  compute_dtype):
+    """patchify + text proj + pos table; time embedding MLP."""
+    B, T, C, Hh, Ww = x.shape
+    dt = compute_dtype
+    P = cfg.patch_size
+    xi = x.astype(dt).transpose(0, 1, 3, 4, 2).reshape(B * T, Hh, Ww, C)
+    emb = jax.lax.conv_general_dilated(
+        xi, params["patch_w"].astype(dt), (P, P), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    emb = emb + params["patch_b"].astype(dt)
+    n = (Hh // P) * (Ww // P)
+    emb = emb.reshape(B, T * n, cfg.hidden_size)
+    text = _linear(params, "text_proj", context.astype(dt))
+    h = jnp.concatenate([text, emb], axis=1)
+    pos = jnp.asarray(pos_embed_table(cfg), dt)
+    h = h + pos[None, : h.shape[1]]
+
+    t_emb = timestep_embedding(timesteps, cfg.hidden_size, dtype=dt)
+    e = _linear(params["time_mlp"], "fc0", t_emb)
+    e = _linear(params["time_mlp"], "fc1", jax.nn.silu(e))
+    return h, e
+
+
+def forward(params, x, timesteps, context, cfg: DiTConfig, *,
+            control_outputs=None, attn_impl="auto",
+            compute_dtype=jnp.bfloat16):
+    """Main DiT forward.
+
+    Args:
+      x: (B, T, C, H, W) noisy latents (the denoiser applies c_in=1).
+      timesteps: (B,) DDPM timestep indices (c_noise).
+      context: (B, text_length, 4096) T5 features.
+      control_outputs: optional list of (B, S, D) tensors added to the full
+        hidden sequence after layers 0..len-1.
+    Returns: (B, T, C_out, H, W) v-prediction.
+    """
+    h, emb = _embed_inputs(params, x, timesteps, context, cfg, compute_dtype)
+    for i, p in enumerate(params["layers"]):
+        h = _layer(p, h, emb, cfg, attn_impl)
+        if control_outputs is not None and i < len(control_outputs):
+            h = h + control_outputs[i].astype(h.dtype)
+    h = layer_norm(h, params["final_ln_w"], params["final_ln_b"], 1e-6)
+    hv = h[:, cfg.text_length:]
+    f = params["final"]
+    hv = layer_norm(hv, f["norm_w"], f["norm_b"], 1e-6)
+    mods = _linear(f, "adaln", jax.nn.silu(emb))
+    shift, scale = jnp.split(mods, 2, axis=-1)
+    hv = _modulate(hv, shift, scale)
+    hv = _linear(f, "linear", hv)
+    # unpatchify (dit_video_concat.py:392-410)
+    B = hv.shape[0]
+    P = cfg.patch_size
+    hh = cfg.latent_height // P
+    ww = cfg.latent_width // P
+    out = hv.reshape(B, cfg.latent_frames, hh, ww, cfg.out_channels, P, P)
+    out = out.transpose(0, 1, 4, 2, 5, 3, 6).reshape(
+        B, cfg.latent_frames, cfg.out_channels, hh * P, ww * P)
+    return out
+
+
+def control_forward(params, x, timesteps, context, cfg: DiTConfig,
+                    semantic_feature, *, attn_impl="auto",
+                    compute_dtype=jnp.bfloat16):
+    """Control branch: x + semantic_feature, run control layers, each layer's
+    stream passes through its zero-init linear; returns list of layer
+    outputs (full [text|video] sequences)."""
+    x = x.astype(compute_dtype) + semantic_feature.astype(compute_dtype)
+    h, emb = _embed_inputs(params, x, timesteps, context, cfg, compute_dtype)
+    outs = []
+    for p in params["layers"]:
+        h = _layer(p, h, emb, cfg, attn_impl)
+        h = h @ p["zero_linear_w"].astype(h.dtype)  # bias-free (1210-1218)
+        outs.append(h)
+    return outs
+
+
+def control_warp_forward(main_params, control_params, x, timesteps, context,
+                         cfg: DiTConfig, semantic_feature, *,
+                         attn_impl="auto", compute_dtype=jnp.bfloat16):
+    """ControlDiffWarp.forward (dit_video_concat.py:1196-1200)."""
+    import dataclasses
+
+    ctrl_cfg = dataclasses.replace(cfg, num_layers=cfg.control_layers)
+    ctrl = control_forward(control_params, x, timesteps, context, ctrl_cfg,
+                           semantic_feature, attn_impl=attn_impl,
+                           compute_dtype=compute_dtype)
+    return forward(main_params, x, timesteps, context, cfg,
+                   control_outputs=ctrl, attn_impl=attn_impl,
+                   compute_dtype=compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# init
+
+
+def _init_layer(key, cfg: DiTConfig, control: bool, dtype):
+    D = cfg.hidden_size
+    TE = cfg.time_embed_dim
+    Dk = cfg.head_dim
+    M = D * 4
+    ks = iter(jax.random.split(key, 8))
+    nrm = lambda k, s, std=0.02: (jax.random.normal(k, s) * std).astype(dtype)
+    p = {
+        # adaLN zero-init (reinit, dit_video_concat.py:633-636)
+        "adaln_w": jnp.zeros((TE, 12 * D), dtype),
+        "adaln_b": jnp.zeros((12 * D,), dtype),
+        "ln1_w": jnp.ones((D,), dtype), "ln1_b": jnp.zeros((D,), dtype),
+        "qkv_w": nrm(next(ks), (D, 3 * D)), "qkv_b": jnp.zeros((3 * D,), dtype),
+        "attn_out_w": nrm(next(ks), (D, D)),
+        "attn_out_b": jnp.zeros((D,), dtype),
+        "ln2_w": jnp.ones((D,), dtype), "ln2_b": jnp.zeros((D,), dtype),
+        "mlp0_w": nrm(next(ks), (D, M)), "mlp0_b": jnp.zeros((M,), dtype),
+        "mlp1_w": nrm(next(ks), (M, D)), "mlp1_b": jnp.zeros((D,), dtype),
+    }
+    if cfg.qk_ln:
+        p.update({"q_ln_w": jnp.ones((Dk,), dtype),
+                  "q_ln_b": jnp.zeros((Dk,), dtype),
+                  "k_ln_w": jnp.ones((Dk,), dtype),
+                  "k_ln_b": jnp.zeros((Dk,), dtype)})
+    if control:
+        p["zero_linear_w"] = jnp.zeros((D, D), dtype)
+    return p
+
+
+def init(key, cfg: DiTConfig, *, control: bool = False, dtype=jnp.float32):
+    D = cfg.hidden_size
+    TE = cfg.time_embed_dim
+    P = cfg.patch_size
+    n_layers = cfg.control_layers if control else cfg.num_layers
+    ks = iter(jax.random.split(key, n_layers + 8))
+    nrm = lambda k, s, std=0.02: (jax.random.normal(k, s) * std).astype(dtype)
+    return {
+        "patch_w": nrm(next(ks), (P, P, cfg.in_channels, D)),
+        "patch_b": jnp.zeros((D,), dtype),
+        "text_proj_w": nrm(next(ks), (cfg.text_dim, D)),
+        "text_proj_b": jnp.zeros((D,), dtype),
+        "time_mlp": {
+            "fc0_w": nrm(next(ks), (D, TE)), "fc0_b": jnp.zeros((TE,), dtype),
+            "fc1_w": nrm(next(ks), (TE, TE)), "fc1_b": jnp.zeros((TE,), dtype),
+        },
+        "layers": [_init_layer(next(ks), cfg, control, dtype)
+                   for _ in range(n_layers)],
+        "final_ln_w": jnp.ones((D,), dtype),
+        "final_ln_b": jnp.zeros((D,), dtype),
+        "final": {
+            "norm_w": jnp.ones((D,), dtype), "norm_b": jnp.zeros((D,), dtype),
+            "adaln_w": jnp.zeros((TE, 2 * D), dtype),
+            "adaln_b": jnp.zeros((2 * D,), dtype),
+            "linear_w": nrm(next(ks), (D, P * P * cfg.out_channels)),
+            "linear_b": jnp.zeros((P * P * cfg.out_channels,), dtype),
+        },
+    }

@@ -1,0 +1,197 @@
+"""Stage-1 GPT backbone: Llama-style blocks (RMSNorm + SwiGLU[gelu-tanh])
+with fused wqkv, 1-D RoPE, causal attention, LayerNorm+Linear head.
+
+Reference: landiff/llm/models/transformer.py (GPT),
+landiff/llm/modules/transformer_blocks.py (LlamaTransformerBlock,
+local_kvcache_inference). Config: llm/llm_cfg.py:25-47 — note the SwiGLU
+activation is GELU(tanh), not SiLU (llm_cfg.py:31).
+
+Two execution paths, both jit-friendly:
+  - `forward`: full-sequence causal (training forward & prefill), replacing
+    the reference's unimplemented packed path (transformer.py:55-84 raises
+    outside KV mode) with a real one.
+  - `decode_step`: single-token step against a preallocated on-HBM KV cache
+    updated via dynamic_update_slice — the reference's per-module python
+    KVCacheManager (llm/modules/inference.py) becomes an explicit pytree
+    carry, so the whole AR loop stays inside one jit.
+
+dtype policy mirrors fwd_dtype=bf16 + fp32 head at sample time
+(transformer.py:91-119): blocks run in bf16, norms accumulate fp32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from landiff_tpu.config import LLMConfig
+from landiff_tpu.ops import masks as masks_lib
+from landiff_tpu.ops.attention import attention
+from landiff_tpu.ops.norms import layer_norm, rms_norm
+from landiff_tpu.ops.rope import apply_rope
+
+
+def gelu_tanh(x):
+    return jax.nn.gelu(x, approximate=True)
+
+
+class KVCache(NamedTuple):
+    """Per-layer stacked KV cache: (L, B, S_max, H, Dk)."""
+
+    k: jax.Array
+    v: jax.Array
+
+    @classmethod
+    def create(cls, cfg: LLMConfig, batch: int, max_len: int,
+               dtype=jnp.bfloat16):
+        shape = (cfg.num_layers, batch, max_len, cfg.num_heads, cfg.head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def _qkv(p, x, cfg: LLMConfig):
+    B, S, D = x.shape
+    qkv = x @ p["wqkv"].astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    shp = (B, S, cfg.num_heads, cfg.head_dim)
+    return q.reshape(shp), k.reshape(shp), v.reshape(shp)
+
+
+def _mlp(p, x):
+    w1 = p["w1"].astype(x.dtype)
+    w2 = p["w2"].astype(x.dtype)
+    w3 = p["w3"].astype(x.dtype)
+    return (gelu_tanh(x @ w1) * (x @ w3)) @ w2
+
+
+def block_forward(p, x, cos, sin, cfg: LLMConfig, attn_impl="auto"):
+    """Full-sequence causal block. x: (B, S, D); cos/sin: (S, Dk/2)."""
+    h = rms_norm(x, p["norm0"], cfg.norm_eps)
+    q, k, v = _qkv(p, h, cfg)
+    q, k = apply_rope(q, cos[None], sin[None]), apply_rope(k, cos[None], sin[None])
+    attn = attention(q, k, v, mask_fn=masks_lib.causal, impl=attn_impl)
+    attn = attn.reshape(x.shape) @ p["wo"].astype(x.dtype)
+    x = x + attn
+    h = rms_norm(x, p["norm1"], cfg.norm_eps)
+    return x + _mlp(p, h)
+
+
+def block_decode(p, x, cos, sin, k_cache, v_cache, pos, cfg: LLMConfig):
+    """Single-token step. x: (B, 1, D); k_cache/v_cache: (B, S_max, H, Dk);
+    pos: scalar index of the current token. Returns (x, k_new, v_new)."""
+    B, _, D = x.shape
+    h = rms_norm(x, p["norm0"], cfg.norm_eps)
+    q, k, v = _qkv(p, h, cfg)
+    q = apply_rope(q, cos[None], sin[None])
+    k = apply_rope(k, cos[None], sin[None])
+    k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype),
+                                           (0, pos, 0, 0))
+    v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype),
+                                           (0, pos, 0, 0))
+    # einsum attention over the cache, masked beyond pos
+    # (transformer_blocks.py:169-184 semantics: -finfo.max fill, fp32 softmax)
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                   k_cache.astype(jnp.float32)) * scale
+    valid = (jnp.arange(k_cache.shape[1]) <= pos)[None, None, None, :]
+    s = jnp.where(valid, s, -1e30)
+    w = jax.nn.softmax(s, axis=-1)
+    attn = jnp.einsum("bhqk,bkhd->bqhd", w.astype(v_cache.dtype), v_cache)
+    attn = attn.reshape(B, 1, D).astype(x.dtype) @ p["wo"].astype(x.dtype)
+    x = x + attn
+    h = rms_norm(x, p["norm1"], cfg.norm_eps)
+    return x + _mlp(p, h), k_cache, v_cache
+
+
+def forward(params, features, cfg: LLMConfig, cos, sin, *, apply_head=True,
+            attn_impl="auto", compute_dtype=jnp.bfloat16):
+    """Training/packed forward. features: (B, S, D) embeddings."""
+    x = features.astype(compute_dtype)
+    for p in params["blocks"]:
+        x = block_forward(p, x, cos, sin, cfg, attn_impl)
+    x = layer_norm(x, params["ln_f"]["w"], params["ln_f"]["b"])
+    if not apply_head:
+        return x
+    return x @ params["head"].astype(x.dtype)
+
+
+def prefill(params, features, cache: KVCache, cfg: LLMConfig, cos, sin,
+            compute_dtype=jnp.bfloat16):
+    """Run the prompt through all blocks, filling cache[:, :, :S].
+
+    Returns (fp32 logits of the LAST position, updated cache) — matching
+    GPT.sample (transformer.py:91-119: fp32 LN + head on last position)."""
+    x = features.astype(compute_dtype)
+    S = x.shape[1]
+    ks, vs = [], []
+    for p in params["blocks"]:
+        # compute per-layer K/V on the full prefix, then attend causally
+        h = rms_norm(x, p["norm0"], cfg.norm_eps)
+        q, k, v = _qkv(p, h, cfg)
+        q = apply_rope(q, cos[None], sin[None])
+        k = apply_rope(k, cos[None], sin[None])
+        attn = attention(q, k, v, mask_fn=masks_lib.causal, impl="xla")
+        attn = attn.reshape(x.shape) @ p["wo"].astype(x.dtype)
+        x = x + attn
+        h = rms_norm(x, p["norm1"], cfg.norm_eps)
+        x = x + _mlp(p, h)
+        ks.append(k)
+        vs.append(v)
+    k_stack = jnp.stack(ks).astype(cache.k.dtype)
+    v_stack = jnp.stack(vs).astype(cache.v.dtype)
+    cache = KVCache(
+        jax.lax.dynamic_update_slice(
+            cache.k, k_stack, (0, 0, 0, 0, 0)),
+        jax.lax.dynamic_update_slice(
+            cache.v, v_stack, (0, 0, 0, 0, 0)))
+    logits = _head_last(params, x[:, -1:])
+    return logits, cache
+
+
+def decode_step(params, feature, cache: KVCache, pos, cfg: LLMConfig,
+                cos, sin, compute_dtype=jnp.bfloat16):
+    """One AR step. feature: (B, 1, D) embedding of the token at `pos`;
+    cos/sin: (1, Dk/2) rope angles for `pos`. Returns (fp32 logits, cache)."""
+    x = feature.astype(compute_dtype)
+    new_k, new_v = [], []
+    for i, p in enumerate(params["blocks"]):
+        x, kc, vc = block_decode(p, x, cos, sin, cache.k[i], cache.v[i], pos,
+                                 cfg)
+        new_k.append(kc)
+        new_v.append(vc)
+    cache = KVCache(jnp.stack(new_k), jnp.stack(new_v))
+    return _head_last(params, x), cache
+
+
+def _head_last(params, x_last):
+    """fp32 LayerNorm + head on the last position (transformer.py:112-118)."""
+    x = x_last[:, -1].astype(jnp.float32)
+    x = layer_norm(x, params["ln_f"]["w"], params["ln_f"]["b"])
+    return x @ params["head"].astype(jnp.float32)
+
+
+def init(key, cfg: LLMConfig, dtype=jnp.float32):
+    D, M, V = cfg.hidden_size, cfg.mlp_hidden, cfg.vocab_size
+    keys = iter(jax.random.split(key, 6 * cfg.num_layers + 2))
+    # trunc_normal(std=sqrt(2/fan_in)) for block linears
+    # (transformer_blocks.py:81-84); normal(0.02) for head (transformer.py:47)
+    tn = lambda k, shape: (jax.random.truncated_normal(k, -2, 2, shape)
+                           * math.sqrt(2 / shape[0])).astype(dtype)
+    blocks = []
+    for _ in range(cfg.num_layers):
+        blocks.append({
+            "wqkv": tn(next(keys), (D, 3 * D)),
+            "wo": tn(next(keys), (D, D)),
+            "norm0": jnp.ones((D,), dtype),
+            "norm1": jnp.ones((D,), dtype),
+            "w1": tn(next(keys), (D, M)),
+            "w3": tn(next(keys), (D, M)),
+            "w2": tn(next(keys), (M, D)),
+        })
+    return {
+        "blocks": blocks,
+        "ln_f": {"w": jnp.ones((D,), dtype), "b": jnp.zeros((D,), dtype)},
+        "head": (jax.random.normal(next(keys), (D, V)) * 0.02).astype(dtype),
+    }

@@ -1,0 +1,341 @@
+"""Semantic 1-D LM: vocab, prompt assembly, structural schedule, and the
+constrained autoregressive sampling loop — stage 1 of LanDiff.
+
+Reference: landiff/llm/models/lm_model.py. The reference samples with a
+~1,244-step *Python* loop doing per-step tensor surgery (lm_model.py:408-508);
+here the structural constraints are precomputed into static per-position
+arrays (forced-token table + free-position mask) so the whole decode runs as
+one `lax.fori_loop` inside jit — the #1 performance lever on TPU.
+
+Vocab (lm_model.py:62-71): visual ids [0, codebook) then specials
+EOS, BOS, START_OF_IFrame, END_OF_IFrame, START_OF_PFrame, END_OF_PFrame, PAD.
+
+Sequence layout at inference (tokenize, lm_model.py:175-276):
+  [BOS][micro frames][micro motion][text cond ...][SOI] then sampled:
+  330 I tokens [EOI] ([SOP] 74 P tokens [EOP]) x (frames-1), per segment,
+  [SOI]-per-extra-segment, final [EOS].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from landiff_tpu.config import ARSampleConfig, LLMConfig
+from landiff_tpu.models import gpt
+from landiff_tpu.ops.embeddings import timestep_embedding
+from landiff_tpu.ops.rope import rope_1d_table
+from landiff_tpu.utils import top_k_filter_logits, top_p_filter_probs
+
+
+@dataclass(frozen=True)
+class Vocab:
+    codebook_size: int
+
+    @property
+    def EOS(self):
+        return self.codebook_size
+
+    @property
+    def BOS(self):
+        return self.codebook_size + 1
+
+    @property
+    def START_OF_IFRAME(self):
+        return self.codebook_size + 2
+
+    @property
+    def END_OF_IFRAME(self):
+        return self.codebook_size + 3
+
+    @property
+    def START_OF_PFRAME(self):
+        return self.codebook_size + 4
+
+    @property
+    def END_OF_PFRAME(self):
+        return self.codebook_size + 5
+
+    @property
+    def PAD(self):
+        return self.codebook_size + 6
+
+    @property
+    def size(self):
+        return self.codebook_size + 7
+
+
+def video_frames_to_code_len(cfg: LLMConfig, num_frames: int,
+                             segment_length: int | None = None,
+                             segment_stride: int | None = None) -> int:
+    """Total sampled positions for `num_frames` semantic frames
+    (lm_model.py:278-291), incl. structural tokens, excl. the leading SOI."""
+    seg_len = segment_length or cfg.frames_per_segment
+    seg_stride = segment_stride or cfg.frames_per_segment
+    res = 0
+    for offset in range(0, num_frames, seg_stride):
+        frame_len = min(offset + seg_len, num_frames) - offset
+        res += cfg.iframe_len + (frame_len - 1) * cfg.pframe_len
+        res += 2 * frame_len  # use_end_of_IFrame and use_end_of_PFrame
+    return res
+
+
+@dataclass(frozen=True)
+class SampleSchedule:
+    """Static structural schedule for the AR decode (lm_model.py:353-396).
+
+    Arrays of length `full_len`; position i describes the token SAMPLED at i:
+      forced[i]  >= 0: token id forced at this position; -1: free (visual)
+      visual[i]  True where the sampled token is a visual code to emit
+      allow_eos[i] True where EOS may terminate generation (predict_eos mode)
+    """
+
+    prefix_len: int
+    full_len: int
+    forced: np.ndarray
+    visual: np.ndarray
+    allow_eos: np.ndarray
+
+    @property
+    def num_visual(self) -> int:
+        return int(self.visual.sum())
+
+
+def build_schedule(cfg: LLMConfig, prefix_len: int, num_frames: int,
+                   segment_length: int | None = None) -> SampleSchedule:
+    """Replicates the index-set construction of lm_model.py:353-396.
+
+    `prefix_len` = index of SOI + 1 (the SOI token is part of the prompt)."""
+    vocab = Vocab(cfg.codebook_size)
+    seg_len = segment_length or cfg.frames_per_segment
+    p_num = seg_len - 1
+    i_len, p_len = cfg.iframe_len, cfg.pframe_len
+    start_of_iframe_index = prefix_len - 1
+
+    full_len = start_of_iframe_index + video_frames_to_code_len(
+        cfg, num_frames, seg_len, seg_len) + 1
+
+    forced = np.full(full_len, -1, np.int64)
+    visual = np.zeros(full_len, bool)
+    allow_eos = np.zeros(full_len, bool)
+
+    visual_block_len = i_len + p_num * p_len + seg_len * 2
+    for index in range(start_of_iframe_index, full_len - 1, visual_block_len):
+        move = index
+        forced[move] = vocab.START_OF_IFRAME
+        move += 1
+        visual[move:move + i_len] = True
+        move += i_len
+        forced[move] = vocab.END_OF_IFRAME
+        move += 1
+        if index > start_of_iframe_index:
+            allow_eos[move] = True
+        p_end = min(full_len - 1, move - 1 + p_len * p_num + 2 * p_num)
+        for j in range(move, p_end, p_len + 2):
+            forced[j] = vocab.START_OF_PFRAME
+            visual[j + 1:j + 1 + p_len] = True
+            forced[j + p_len + 1] = vocab.END_OF_PFRAME
+            move = j + p_len + 2
+            if index > start_of_iframe_index:
+                allow_eos[move] = True
+    if forced[full_len - 1] < 0:  # structural sets take precedence
+        forced[full_len - 1] = vocab.EOS
+    visual[full_len - 1:] = False
+    # the prompt's SOI is at start_of_iframe_index and not sampled
+    return SampleSchedule(prefix_len=prefix_len, full_len=full_len,
+                          forced=forced, visual=visual, allow_eos=allow_eos)
+
+
+# ---------------------------------------------------------------------------
+# Conditioners
+
+
+def micro_cond_features(params, cfg: LLMConfig, values: dict[str, float],
+                        compute_dtype=jnp.bfloat16):
+    """MicroConditioner (llm/modules/conditioner.py:17-170): scalar ->
+    sinusoid(256) -> per-key MLP(freq->512->SiLU->2048). Keys sorted.
+    Returns (num_keys, D)."""
+    outs = []
+    for key in sorted(cfg.micro_cond_keys):
+        p = params["micro"][key]
+        v = jnp.asarray([values[key]], jnp.float32)
+        emb = timestep_embedding(v, cfg.micro_cond_embed_dim,
+                                 dtype=compute_dtype)
+        h = jax.nn.silu(emb @ p["fc0_w"].astype(compute_dtype)
+                        + p["fc0_b"].astype(compute_dtype))
+        out = h @ p["fc1_w"].astype(compute_dtype) + p["fc1_b"].astype(compute_dtype)
+        outs.append(out[0])
+    return jnp.stack(outs)
+
+
+def text_cond_features(params, text_embedding, compute_dtype=jnp.bfloat16):
+    """TextCond MLP projection (conditioner.py:173-264): T5 features (S, 4096)
+    -> MLP2(gelu-tanh) -> (S, D)."""
+    p = params["text_proj"]
+    x = text_embedding.astype(compute_dtype)
+    h = jax.nn.gelu(x @ p["fc0_w"].astype(compute_dtype)
+                    + p["fc0_b"].astype(compute_dtype), approximate=True)
+    return h @ p["fc1_w"].astype(compute_dtype) + p["fc1_b"].astype(compute_dtype)
+
+
+def null_text_features(params, length: int, compute_dtype=jnp.bfloat16):
+    """forward_unconditional (conditioner.py:309-323): the learned null
+    embedding repeated to the tokenized length (NOT passed through the MLP)."""
+    null = params["null_text_embedding"].astype(compute_dtype)
+    return jnp.broadcast_to(null[None], (length, null.shape[0]))
+
+
+def assemble_prompt(params, cfg: LLMConfig, text_feats, micro_feats,
+                    compute_dtype=jnp.bfloat16):
+    """Build prompt features [BOS][micro x2][text][SOI] -> (prefix_len, D)
+    (lm_model.py:201-276, micro_cond_first=True)."""
+    vocab = Vocab(cfg.codebook_size)
+    embed = params["tok_emb"]
+    bos = embed[vocab.BOS][None].astype(compute_dtype)
+    soi = embed[vocab.START_OF_IFRAME][None].astype(compute_dtype)
+    return jnp.concatenate(
+        [bos, micro_feats.astype(compute_dtype),
+         text_feats.astype(compute_dtype), soi], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Constrained AR sampling
+
+
+@dataclasses.dataclass(frozen=True)
+class _SampleStatic:
+    """Hashable static bundle for the jitted sampler."""
+
+    cfg: LLMConfig
+    prefix_len: int
+    full_len: int
+    temperature: float
+    top_k: int
+    top_p: float
+    guidance_scale: float
+
+
+def _sample_token(logits, forced_t, key, st: _SampleStatic):
+    """CFG combine + temperature/top-k/top-p + structural forcing for one
+    step. logits: (rows, V) fp32 (rows=2 iff guidance). Returns scalar token."""
+    if st.guidance_scale > 0 and st.guidance_scale != 1:
+        cond, uncond = logits[0], logits[1]
+        logits = uncond + st.guidance_scale * (cond - uncond)
+    else:
+        logits = logits[0]
+    logits = logits / st.temperature
+    if st.top_k > 0:
+        logits = top_k_filter_logits(logits, st.top_k)
+    probs = jax.nn.softmax(logits, axis=-1)
+    if st.top_p < 1.0:
+        probs = top_p_filter_probs(probs, st.top_p)
+    sampled = jax.random.categorical(key, jnp.log(jnp.maximum(probs, 1e-30)))
+    return jnp.where(forced_t >= 0, forced_t, sampled)
+
+
+def sample(params, cfg: LLMConfig, schedule: SampleSchedule, prompt_features,
+           sample_cfg: ARSampleConfig, *, rng_key,
+           compute_dtype=jnp.bfloat16, cache_dtype=jnp.bfloat16):
+    """Constrained AR decode (lm_model.py:293-516), fully jitted.
+
+    Args:
+      prompt_features: (rows, prefix_len, D) — rows=2 for CFG ([cond, uncond])
+        else 1.
+      schedule: static structural schedule from build_schedule.
+    Returns: (num_visual,) int32 codes clamped to the visual range.
+    """
+    st = _SampleStatic(
+        cfg=cfg, prefix_len=schedule.prefix_len, full_len=schedule.full_len,
+        temperature=sample_cfg.temperature, top_k=sample_cfg.top_k,
+        top_p=sample_cfg.top_p, guidance_scale=sample_cfg.cfg_scale)
+    tokens = _sample_jit(params, prompt_features,
+                         jnp.asarray(schedule.forced), rng_key, st,
+                         compute_dtype, cache_dtype)
+    codes = np.asarray(tokens)[schedule.visual]
+    return np.clip(codes, 0, cfg.codebook_size - 1)
+
+
+def _embed_token(params, tok, rows: int):
+    f = params["tok_emb"][tok][None, None]          # (1, 1, D)
+    return jnp.broadcast_to(f, (rows, 1, f.shape[-1]))
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("st", "compute_dtype",
+                                             "cache_dtype"))
+def _sample_jit(params, prompt_features, forced, rng_key, st: _SampleStatic,
+                compute_dtype, cache_dtype):
+    cfg = st.cfg
+    rows = prompt_features.shape[0]
+    cos_t, sin_t = rope_1d_table(cfg.rope)
+    cos = jnp.asarray(cos_t[: st.full_len])
+    sin = jnp.asarray(sin_t[: st.full_len])
+
+    cache = gpt.KVCache.create(cfg, rows, st.full_len, cache_dtype)
+    logits, cache = gpt.prefill(
+        params["gpt"], prompt_features, cache, cfg,
+        cos[: st.prefix_len], sin[: st.prefix_len],
+        compute_dtype=compute_dtype)
+
+    out0 = jnp.zeros((st.full_len,), jnp.int32)
+
+    def body(i, carry):
+        logits, cache, key, out = carry
+        key, sub = jax.random.split(key)
+        tok = _sample_token(logits, forced[i], sub, st).astype(jnp.int32)
+        out = out.at[i].set(tok)
+        feat = _embed_token(params, tok, rows).astype(compute_dtype)
+        logits, cache = gpt.decode_step(
+            params["gpt"], feat, cache, i, cfg,
+            jax.lax.dynamic_slice_in_dim(cos, i, 1),
+            jax.lax.dynamic_slice_in_dim(sin, i, 1),
+            compute_dtype=compute_dtype)
+        return logits, cache, key, out
+
+    _, _, _, out = jax.lax.fori_loop(
+        st.prefix_len, st.full_len, body, (logits, cache, rng_key, out0))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# init
+
+
+def init(key, cfg: LLMConfig, t5_dim: int = 4096, dtype=jnp.float32):
+    import math
+
+    D = cfg.hidden_size
+    keys = iter(jax.random.split(key, 16))
+    tn = lambda k, shape: (jax.random.truncated_normal(k, -2, 2, shape)
+                           * math.sqrt(2 / shape[0])).astype(dtype)
+    micro = {}
+    for name in sorted(cfg.micro_cond_keys):
+        micro[name] = {
+            "fc0_w": (jax.random.normal(next(keys),
+                                        (cfg.micro_cond_embed_dim, 512))
+                      * 0.02).astype(dtype),
+            "fc0_b": jnp.zeros((512,), dtype),
+            # reference zero-inits the output linear (conditioner.py:85-89)
+            "fc1_w": jnp.zeros((512, D), dtype),
+            "fc1_b": jnp.zeros((D,), dtype),
+        }
+    return {
+        "gpt": gpt.init(next(keys), cfg, dtype),
+        "tok_emb": (jax.random.normal(next(keys), (cfg.vocab_size, D))
+                    * 0.02).astype(dtype),
+        "text_proj": {
+            "fc0_w": tn(next(keys), (t5_dim, D)),
+            "fc0_b": jnp.zeros((D,), dtype),
+            "fc1_w": tn(next(keys), (D, D)),
+            "fc1_b": jnp.zeros((D,), dtype),
+        },
+        "null_text_embedding": (jax.random.normal(next(keys), (D,))
+                                / D ** 0.5).astype(dtype),
+        "micro": micro,
+    }

@@ -1,0 +1,232 @@
+"""Attention kernels.
+
+Replaces the reference's native attention surface (SURVEY §2.9):
+  - flash-attn CUDA / torch sdpa            -> Pallas flash attention (TPU)
+  - torch flex_attention + BlockMask        -> same kernel + mask-spec
+    evaluation in-kernel with a block-visibility table for sparsity skipping
+    (masks from ops/masks.py)
+  - einsum attention (llm decode)           -> ops/decode_attention.py
+
+Layout convention: (batch, seq, heads, head_dim) a.k.a. BSHD everywhere.
+
+`mha_reference` is the numerics oracle (fp32 softmax, -max stabilization,
+matching tokenizer blocks.py TORCH sdpa and llm transformer_blocks.py einsum
+attention); `flash_attention` is the Pallas kernel that must match it.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from landiff_tpu.ops import masks as masks_lib
+
+NEG_INF = -1e30
+
+
+def mha_reference(q, k, v, mask=None, scale=None, mask_fn=None):
+    """Dense attention oracle. q,k,v: (B, S, H, D); mask: bool (.., S_q, S_kv)
+    broadcastable, True = visible. fp32 softmax, output cast to q.dtype."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if mask_fn is not None:
+        qi = jnp.arange(q.shape[1])[:, None]
+        ki = jnp.arange(k.shape[1])[None, :]
+        mask = mask_fn(qi, ki)
+    if mask is not None:
+        s = jnp.where(mask, s, NEG_INF)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    if mask is not None:
+        # fully-masked rows -> 0 output (flex-attention semantics)
+        p = jnp.where(jnp.any(mask, axis=-1, keepdims=True), p, 0.0)
+    p = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+    out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention
+
+
+def _flash_kernel(count_ref,     # SMEM (nq,) int32: visible kv-block count
+                  order_ref,     # SMEM (nq, nk) int32: visible kv-block ids
+                  kind_ref,      # SMEM (nq, nk) int32: 1 partial / 2 full
+                  q_ref,         # VMEM (1, block_q, D)
+                  k_ref,         # VMEM (1, S_kv, D)
+                  v_ref,         # VMEM (1, S_kv, D)
+                  o_ref,         # VMEM (1, block_q, D)
+                  *,
+                  mask_fn, scale, block_q, block_kv):
+    """Online-softmax flash attention over only the VISIBLE kv blocks for
+    this q block (block-sparsity skip without lax.cond: the scalar-prefetch
+    order table makes every loop iteration real work)."""
+    qi = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32) * scale          # (bq, D)
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    a0 = jnp.zeros((block_q, q.shape[-1]), jnp.float32)
+
+    def body(j, carry):
+        m, l, acc = carry
+        kj = order_ref[qi, j]
+        k = k_ref[0, pl.ds(kj * block_kv, block_kv), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kj * block_kv, block_kv), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (bq, bkv)
+        keep = None
+        if mask_fn is not None:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+            tile_mask = mask_fn(rows + qi * block_q, cols + kj * block_kv)
+            # float-arithmetic masking (Mosaic can't lower the broadcast
+            # i8->i1 truncations that bool-literal selects produce);
+            # kind==2 means the whole tile is visible
+            full = (kind_ref[qi, j] == 2).astype(jnp.float32)
+            keep = jnp.maximum(tile_mask.astype(jnp.float32), full)
+            s = s * keep + NEG_INF * (1.0 - keep)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        if keep is not None:
+            # fully-masked rows must output 0 (flex-attention semantics)
+            p = p * keep
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, count_ref[qi], body, (m0, l0, a0))
+    out = acc / jnp.maximum(l, 1e-30)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _pad_to(x, length, axis):
+    pad = length - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mask_fn", "scale", "block_q", "block_kv", "interpret"))
+def _flash_call(q, k, v, count, order, kind, *, mask_fn, scale, block_q,
+                block_kv, interpret):
+    BH, Sq, D = q.shape
+    Skv = k.shape[1]
+    nq = Sq // block_q
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(BH, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda bh, qi, *_: (bh, qi, 0)),
+            pl.BlockSpec((1, Skv, D), lambda bh, qi, *_: (bh, 0, 0)),
+            pl.BlockSpec((1, Skv, D), lambda bh, qi, *_: (bh, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda bh, qi, *_: (bh, qi, 0)),
+    )
+    kernel = functools.partial(
+        _flash_kernel, mask_fn=mask_fn, scale=scale, block_q=block_q,
+        block_kv=block_kv)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BH * Sq * Skv * D,
+            bytes_accessed=2 * BH * (Sq + 2 * Skv) * D * q.dtype.itemsize,
+            transcendentals=BH * Sq * Skv),
+        interpret=interpret,
+    )(count, order, kind, q, k, v)
+
+
+def flash_attention(q, k, v, *, mask_fn=None, scale=None,
+                    block_q: int = 256, block_kv: int = 512,
+                    interpret: bool | None = None):
+    """Flash attention with optional structured mask.
+
+    Args:
+      q, k, v: (B, S, H, D).
+      mask_fn: a mask spec from ops/masks.py (hashable callable of
+        (q_idx, kv_idx) -> bool), or None for full attention. Evaluated at
+        trace time on host for block visibility and inside the kernel for
+        partial tiles.
+      scale: softmax scale; default 1/sqrt(D).
+    Returns: (B, S, H, D), q.dtype.
+    """
+    B, Sq, H, D = q.shape
+    Skv = k.shape[1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    block_q = min(block_q, masks_lib.round_up(Sq, 128))
+    block_kv = min(block_kv, masks_lib.round_up(Skv, 128))
+    Sq_p = masks_lib.round_up(Sq, block_q)
+    Skv_p = masks_lib.round_up(Skv, block_kv)
+
+    # padding-aware mask: padded kv columns must be invisible
+    if mask_fn is None and Skv_p == Skv:
+        eff_fn = None
+    elif Skv_p != Skv:
+        eff_fn = masks_lib.kv_limit(mask_fn, Skv)
+    else:
+        eff_fn = mask_fn
+
+    nq, nk = Sq_p // block_q, Skv_p // block_kv
+    if eff_fn is None:
+        vis = np.full((nq, nk), 2, np.int8)
+    else:
+        vis = masks_lib.block_visibility(eff_fn, Sq_p, Skv_p, block_q, block_kv)
+    kern_fn = eff_fn
+
+    # per-q-block visible kv-block order tables (block-sparsity skip)
+    count = np.zeros((nq,), np.int32)
+    order = np.zeros((nq, nk), np.int32)
+    kind = np.zeros((nq, nk), np.int32)
+    for i in range(nq):
+        ids = np.nonzero(vis[i])[0]
+        count[i] = len(ids)
+        order[i, :len(ids)] = ids
+        kind[i, :len(ids)] = vis[i, ids]
+
+    # BSHD -> (B*H, S, D)
+    qt = _pad_to(q.transpose(0, 2, 1, 3).reshape(B * H, Sq, D), Sq_p, 1)
+    kt = _pad_to(k.transpose(0, 2, 1, 3).reshape(B * H, Skv, D), Skv_p, 1)
+    vt = _pad_to(v.transpose(0, 2, 1, 3).reshape(B * H, Skv, D), Skv_p, 1)
+
+    out = _flash_call(qt, kt, vt, jnp.asarray(count), jnp.asarray(order),
+                      jnp.asarray(kind), mask_fn=kern_fn,
+                      scale=scale, block_q=block_q, block_kv=block_kv,
+                      interpret=interpret)
+    out = out[:, :Sq].reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
+    return out
+
+
+def attention(q, k, v, *, mask_fn=None, mask=None, scale=None,
+              impl: str = "auto"):
+    """Dispatcher. impl: 'auto' (pallas on TPU, xla elsewhere), 'xla',
+    'pallas'."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "xla":
+        return mha_reference(q, k, v, mask=mask, scale=scale, mask_fn=mask_fn)
+    assert mask is None, "pallas path takes mask_fn, not dense mask"
+    return flash_attention(q, k, v, mask_fn=mask_fn, scale=scale)

@@ -3,7 +3,7 @@ logic (mesh/pjit/shard_map paths) is exercised without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's axon default
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,4 +12,7 @@ os.environ.setdefault("LANDIFF_SKIP_INIT", "1")
 
 import jax  # noqa: E402
 
+# sitecustomize imports jax with JAX_PLATFORMS=axon before conftest runs, so
+# the env var alone is too late — force the platform via the config API.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

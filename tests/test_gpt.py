@@ -1,0 +1,98 @@
+"""GPT backbone: prefill+decode consistency vs full forward, and parity of
+the block math vs an independent torch transcription."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from landiff_tpu.config import LLMConfig, Rope1DConfig
+from landiff_tpu.models import gpt
+from landiff_tpu.ops.rope import rope_1d_table
+
+CFG = LLMConfig(hidden_size=32, num_layers=2, num_heads=2, mlp_hidden=48,
+                codebook_size=16, rope=Rope1DConfig(dim=16, max_len=128))
+
+
+def test_decode_matches_forward():
+    """Teacher-forcing equivalence: prefill(prefix) + N decode steps must give
+    the same final-position logits as a full causal forward."""
+    key = jax.random.PRNGKey(0)
+    params = gpt.init(key, CFG)
+    B, S = 1, 10
+    feats = jax.random.normal(jax.random.PRNGKey(1), (B, S, CFG.hidden_size))
+    cos, sin = rope_1d_table(CFG.rope)
+    cos, sin = jnp.asarray(cos[:S]), jnp.asarray(sin[:S])
+
+    # full forward, fp32
+    full = gpt.forward(params, feats, CFG, cos, sin, attn_impl="xla",
+                       compute_dtype=jnp.float32)
+
+    # prefill 4 + decode 6
+    cache = gpt.KVCache.create(CFG, B, S, jnp.float32)
+    logits, cache = gpt.prefill(params, feats[:, :4], cache, CFG,
+                                cos[:4], sin[:4], compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(full[:, 3]),
+                               rtol=1e-4, atol=1e-4)
+    for pos in range(4, S):
+        logits, cache = gpt.decode_step(params, feats[:, pos:pos + 1], cache,
+                                        pos, CFG, cos[pos:pos + 1],
+                                        sin[pos:pos + 1],
+                                        compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(logits),
+                                   np.asarray(full[:, pos]),
+                                   rtol=1e-4, atol=1e-4, err_msg=f"pos {pos}")
+
+
+def test_block_matches_torch_transcription():
+    """One block vs independent torch math (RMSNorm + fused wqkv + rope +
+    causal sdpa + SwiGLU with gelu-tanh)."""
+    key = jax.random.PRNGKey(3)
+    params = gpt.init(key, CFG)
+    p = params["blocks"][0]
+    B, S, D = 1, 6, CFG.hidden_size
+    H, Dk = CFG.num_heads, CFG.head_dim
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(4), (B, S, D)),
+                   np.float32)
+    cos_t, sin_t = rope_1d_table(CFG.rope)
+    got = np.asarray(gpt.block_forward(
+        p, jnp.asarray(x), jnp.asarray(cos_t[:S]), jnp.asarray(sin_t[:S]),
+        CFG, attn_impl="xla"))
+
+    xt = torch.from_numpy(x)
+    wqkv = torch.from_numpy(np.asarray(p["wqkv"]))
+    wo = torch.from_numpy(np.asarray(p["wo"]))
+
+    def rms(v, w):
+        return v * torch.rsqrt(v.pow(2).mean(-1, keepdim=True) + 1e-5) * \
+            torch.from_numpy(np.asarray(w))
+
+    h = rms(xt, p["norm0"])
+    qkv = h @ wqkv
+    q, k, v = qkv.chunk(3, dim=-1)
+    q = q.view(B, S, H, Dk)
+    k = k.view(B, S, H, Dk)
+    v = v.view(B, S, H, Dk)
+    # complex rope
+    cis = torch.polar(torch.ones(S, Dk // 2),
+                      torch.from_numpy(np.arccos(np.clip(cos_t[:S], -1, 1))
+                                       * np.sign(np.arcsin(np.clip(sin_t[:S], -1, 1)))))
+    # safer: build cis from cos/sin directly
+    cis = torch.complex(torch.from_numpy(cos_t[:S].astype(np.float32)),
+                        torch.from_numpy(sin_t[:S].astype(np.float32)))
+    def rope_t(t):
+        tc = torch.view_as_complex(t.float().reshape(B, S, H, Dk // 2, 2))
+        out = tc * cis[None, :, None, :]
+        return torch.view_as_real(out).reshape(B, S, H, Dk)
+    q, k = rope_t(q), rope_t(k)
+    attn = torch.nn.functional.scaled_dot_product_attention(
+        q.permute(0, 2, 1, 3), k.permute(0, 2, 1, 3), v.permute(0, 2, 1, 3),
+        is_causal=True).permute(0, 2, 1, 3).reshape(B, S, D)
+    xt = xt + attn @ wo
+    h = rms(xt, p["norm1"])
+    w1 = torch.from_numpy(np.asarray(p["w1"]))
+    w2 = torch.from_numpy(np.asarray(p["w2"]))
+    w3 = torch.from_numpy(np.asarray(p["w3"]))
+    mlp = (torch.nn.functional.gelu(h @ w1, approximate="tanh") * (h @ w3)) @ w2
+    want = (xt + mlp).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
