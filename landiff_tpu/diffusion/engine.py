@@ -1,0 +1,139 @@
+"""Stage-2 diffusion engine: wires DiT(+control) + DiscreteDenoiser +
+DynamicCFG + VPSDE-DPM++2M sampler + VAE first stage.
+
+Reference: landiff/diffusion/diffusion_video.py (SATVideoDiffusionEngine
+:28-444, SATControlVideoDiffusionEngine :447-480) and sgm DiscreteDenoiser
+(denoiser.py:44-77). The reference's InferValueRegistry caching of the
+semantic feature across denoise steps becomes a plain closure: the feature
+is computed once and captured by the jitted sampler step.
+
+CFG batch order is [uncond, cond] (guiders.py prepare_inputs: cat(uc, c)).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from landiff_tpu.config import DiTConfig, SamplerConfig, SemanticCondConfig, \
+    TokenizerConfig, VAEConfig
+from landiff_tpu.diffusion import samplers, schedule
+from landiff_tpu.models import dit as dit_lib
+from landiff_tpu.models import semantic_cond as sc_lib
+from landiff_tpu.models import vae as vae_lib
+
+
+@functools.lru_cache(maxsize=8)
+def denoiser_quantized_alphas(cfg: SamplerConfig) -> np.ndarray:
+    """DiscreteDenoiser.possibly_quantize_sigma (denoiser.py:63-72): snap
+    each sampler alpha to the nearest entry of the full 1000-entry table."""
+    table = schedule.zero_snr_sigmas(cfg, cfg.num_train_timesteps,
+                                     return_idx=False)
+    t = schedule.sampler_tables(cfg)
+    al = t["alpha"]
+    idx = np.abs(al[None, :] - table[:, None]).argmin(axis=0)
+    return table[idx]
+
+
+def make_denoise_fn(main_params, control_params, sem_params, dit_cfg: DiTConfig,
+                    sampler_cfg: SamplerConfig, tok_cfg: TokenizerConfig,
+                    sem_cfg: SemanticCondConfig, context, uc_context,
+                    semantic_tokens, *, compute_dtype=jnp.bfloat16,
+                    attn_impl="auto"):
+    """Build the per-step denoise function for the sampler.
+
+    context / uc_context: (B, 226, 4096). semantic_tokens: (B, L) or None.
+    Returns denoise_fn(x, step) -> fp32 v-parameterized x0 prediction after
+    DynamicCFG combination.
+    """
+    q_alpha = jnp.asarray(denoiser_quantized_alphas(sampler_cfg), jnp.float32)
+
+    if semantic_tokens is not None:
+        sem_feature = sc_lib.semantic_feature_from_tokens(
+            sem_params, semantic_tokens, tok_cfg, sem_cfg,
+            forward_t=dit_cfg.latent_frames, compute_dtype=compute_dtype)
+    else:
+        sem_feature = None
+
+    ctx2 = jnp.concatenate([uc_context, context], axis=0)  # [uc, c]
+
+    def denoise_fn(x, step):
+        B = x.shape[0]
+        # quantize sigma to the 1000-table (step carries the sampler index
+        # implicitly via alpha; use nearest lookup for jit-safety)
+        alpha = q_alpha[jnp.argmin(jnp.abs(step["alpha"]
+                                           - jnp.asarray(
+            schedule.sampler_tables(sampler_cfg)["alpha"], jnp.float32)))]
+        c_skip = alpha
+        c_out = -jnp.sqrt(1.0 - alpha ** 2)
+        x2 = jnp.concatenate([x, x], axis=0)
+        ts = jnp.full((2 * B,), step["timestep"], jnp.float32)
+        if sem_feature is not None:
+            sem2 = jnp.concatenate([sem_feature] * 2, axis=0)
+            net_out = dit_lib.control_warp_forward(
+                main_params, control_params, x2.astype(compute_dtype), ts,
+                ctx2, dit_cfg, sem2, attn_impl=attn_impl,
+                compute_dtype=compute_dtype)
+        else:
+            net_out = dit_lib.forward(
+                main_params, x2.astype(compute_dtype), ts, ctx2, dit_cfg,
+                attn_impl=attn_impl, compute_dtype=compute_dtype)
+        denoised = net_out.astype(jnp.float32) * c_out + x2.astype(jnp.float32) * c_skip
+        x_u, x_c = denoised[:B], denoised[B:]
+        return x_u + step["cfg_scale"] * (x_c - x_u)
+
+    return denoise_fn
+
+
+def sample_latents(denoise_fn, sampler_cfg: SamplerConfig, dit_cfg: DiTConfig,
+                   *, key, batch_size=1, prefix=None, sdedit=False):
+    """Engine.sample (diffusion_video.py:255-315): randn latents (optionally
+    prefix-spliced) -> DPM++2M loop. Returns (B, T, C, H, W) fp32."""
+    k_noise, k_samp = jax.random.split(key)
+    shape = (batch_size, dit_cfg.latent_frames, dit_cfg.in_channels,
+             dit_cfg.latent_height, dit_cfg.latent_width)
+    x = jax.random.normal(k_noise, shape, jnp.float32)
+    fixed = 0
+    if prefix is not None:
+        fixed = prefix.shape[1]
+        x = jnp.concatenate([prefix.astype(jnp.float32), x[:, fixed:]], axis=1)
+    return samplers.vpsde_dpmpp2m_sample(denoise_fn, x, sampler_cfg,
+                                         key=k_samp, fixed_frames=fixed,
+                                         sdedit=sdedit)
+
+
+def decode_first_stage(vae_params, latents, vae_cfg: VAEConfig, *,
+                       streaming=True, compute_dtype=jnp.bfloat16):
+    """latents (B, T, C, H', W') -> video (B, 3, T_out, H, W) in [-1, 1]
+    (dif_infer.py:245-271: 1/scale_factor then serial chunked decode)."""
+    z = latents.transpose(0, 2, 1, 3, 4) / vae_cfg.scale_factor
+    if streaming:
+        out = vae_lib.decode_streaming(vae_params["decoder"], z, vae_cfg,
+                                       compute_dtype=compute_dtype)
+    else:
+        out, _ = vae_lib.decode(vae_params["decoder"], z, vae_cfg,
+                                compute_dtype=compute_dtype)
+    return out.astype(jnp.float32)
+
+
+def encode_first_stage(vae_params, video, vae_cfg: VAEConfig, *, key=None,
+                       compute_dtype=jnp.bfloat16):
+    """video (B, 3, T, H, W) in [-1,1] -> latents (B, T', z, H/8, W/8)
+    scaled (diffusion_video.py:232-253)."""
+    moments = vae_lib.encode(vae_params["encoder"], video, vae_cfg,
+                             compute_dtype=compute_dtype)
+    z = vae_lib.sample_posterior(moments, key)
+    return (vae_cfg.scale_factor * z).transpose(0, 2, 1, 3, 4)
+
+
+def post_process_video(video):
+    """[-1,1] -> [0,1] (dif_infer.py:37-49)."""
+    return jnp.clip((video + 1.0) / 2.0, 0.0, 1.0)
+
+
+def pre_process_video(video):
+    """[0,1] -> [-1,1] (dif_infer.py:22-34)."""
+    return jnp.clip(video * 2.0 - 1.0, -1.0, 1.0)

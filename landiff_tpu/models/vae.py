@@ -1,0 +1,357 @@
+"""Causal 3-D VAE (CogVideoX class): 8x spatial / 4x temporal compression,
+zq-conditioned decoder norms, and chunked streaming decode with the causal
+conv cache as an explicit carry.
+
+Reference: landiff/diffusion/vae_modules/cp_enc_dec.py.
+  - ContextParallelCausalConv3d (:383-473): temporal pad k-1 causal (first
+    chunk: replicate frame 0; later chunks: cached tail of the previous
+    padded input), symmetric spatial zero pad
+  - SpatialNorm3D (:502-569): GroupNorm(f) * conv_y(zq~) + conv_b(zq~) with
+    zq nearest-resized to f's size, first frame interpolated separately
+  - Up/DownSample3D (:590-680): 2x nearest / avg-pool with first-frame
+    handling when compress_time and odd T
+  - Encoder (:785-909): ch 128, mult (1,2,2,4), downsample at levels 0..2,
+    temporal compression at levels < log2(4)=2, double_z 32ch output
+  - Decoder (:912-1072): mirror with Normalize3D everywhere, zq = z
+The reference's python `cache_padding` attribute mutation becomes an explicit
+cache pytree (dict keyed by conv path) threaded through the forward, so the
+whole streaming decode jits cleanly (SURVEY §7 step 6).
+
+Layout: NTHWC internally; public API uses the reference's (B, C, T, H, W).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from landiff_tpu.config import VAEConfig
+from landiff_tpu.ops.norms import group_norm
+
+
+def _swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def _gn(p, name, x, eps=1e-6):
+    groups = min(32, p[f"{name}_w"].shape[0])
+    return group_norm(x, p[f"{name}_w"], p[f"{name}_b"], num_groups=groups,
+                      eps=eps, channel_axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# causal conv3d with streaming cache
+
+
+def causal_conv3d(p, x, cache, path, updates, stream: bool):
+    """x: (B, T, H, W, C). p: {"w": (kt,kh,kw,ci,co), "b"}.
+
+    cache: dict or None; cache[path] holds the last (kt-1) PADDED-input
+    frames from the previous chunk. `updates` collects new cache entries
+    when stream=True."""
+    w = p["w"]
+    kt, kh, kw = w.shape[:3]
+    if kt > 1:
+        if cache is not None and path in cache:
+            front = cache[path].astype(x.dtype)
+        else:
+            front = jnp.repeat(x[:, :1], kt - 1, axis=1)
+        xp = jnp.concatenate([front, x], axis=1)
+    else:
+        xp = x
+    if stream and kt > 1:
+        updates[path] = xp[:, -(kt - 1):]
+    pad_h, pad_w = kh // 2, kw // 2
+    out = jax.lax.conv_general_dilated(
+        xp, w.astype(x.dtype), (1, 1, 1),
+        [(0, 0), (pad_h, pad_h), (pad_w, pad_w)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    return out + p["b"].astype(x.dtype)
+
+
+def _nearest_resize_3d(x, t, h, w):
+    """torch 'nearest' on (B, T, H, W, C): index floor(i * in/out)."""
+    B, T, H, W, C = x.shape
+    ti = (np.arange(t) * T // t).astype(np.int32)
+    hi = (np.arange(h) * H // h).astype(np.int32)
+    wi = (np.arange(w) * W // w).astype(np.int32)
+    return x[:, ti][:, :, hi][:, :, :, wi]
+
+
+def spatial_norm3d(p, f, zq, cache, path, updates, stream):
+    """SpatialNorm3D (no add_conv in released config)."""
+    Tf, Hf, Wf = f.shape[1:4]
+    if Tf > 1 and Tf % 2 == 1:
+        zq_first = _nearest_resize_3d(zq[:, :1], 1, Hf, Wf)
+        zq_rest = _nearest_resize_3d(zq[:, 1:], Tf - 1, Hf, Wf)
+        zqr = jnp.concatenate([zq_first, zq_rest], axis=1)
+    else:
+        zqr = _nearest_resize_3d(zq, Tf, Hf, Wf)
+    norm_f = _gn(p, "norm", f)
+    y = causal_conv3d(p["conv_y"], zqr, cache, path + ".y", updates, stream)
+    b = causal_conv3d(p["conv_b"], zqr, cache, path + ".b", updates, stream)
+    return norm_f * y + b
+
+
+def upsample3d(p, x, compress_time: bool):
+    B, T, H, W, C = x.shape
+    if compress_time and T > 1:
+        if T % 2 == 1:
+            first = _nearest_resize_3d(x[:, :1], 1, H * 2, W * 2)
+            rest = _nearest_resize_3d(x[:, 1:], (T - 1) * 2, H * 2, W * 2)
+            x = jnp.concatenate([first, rest], axis=1)
+        else:
+            x = _nearest_resize_3d(x, T * 2, H * 2, W * 2)
+    else:
+        x = _nearest_resize_3d(x, T, H * 2, W * 2)
+    # 2-D conv applied per frame
+    Tn = x.shape[1]
+    xf = x.reshape(B * Tn, *x.shape[2:])
+    out = jax.lax.conv_general_dilated(
+        xf, p["conv_w"].astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["conv_b"].astype(x.dtype)
+    return out.reshape(B, Tn, *out.shape[1:])
+
+
+def downsample3d(p, x, compress_time: bool):
+    B, T, H, W, C = x.shape
+    if compress_time and T > 1:
+        if T % 2 == 1:
+            first, rest = x[:, :1], x[:, 1:]
+            if rest.shape[1] > 0:
+                rest = 0.5 * (rest[:, 0::2] + rest[:, 1::2])
+            x = jnp.concatenate([first, rest], axis=1)
+        else:
+            x = 0.5 * (x[:, 0::2] + x[:, 1::2])
+    # asymmetric spatial pad (0,1,0,1) + stride-2 conv per frame
+    Tn = x.shape[1]
+    xf = x.reshape(B * Tn, *x.shape[2:])
+    out = jax.lax.conv_general_dilated(
+        xf, p["conv_w"].astype(x.dtype), (2, 2), [(0, 1), (0, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["conv_b"].astype(x.dtype)
+    return out.reshape(B, Tn, *out.shape[1:])
+
+
+def resblock3d(p, x, zq, cache, path, updates, stream):
+    h = x
+    if zq is not None:
+        h = spatial_norm3d(p["norm1"], h, zq, cache, path + ".n1", updates,
+                           stream)
+    else:
+        h = _gn(p["norm1"], "norm", h)
+    h = causal_conv3d(p["conv1"], _swish(h), cache, path + ".c1", updates,
+                      stream)
+    if zq is not None:
+        h = spatial_norm3d(p["norm2"], h, zq, cache, path + ".n2", updates,
+                           stream)
+    else:
+        h = _gn(p["norm2"], "norm", h)
+    h = causal_conv3d(p["conv2"], _swish(h), cache, path + ".c2", updates,
+                      stream)
+    if "nin_w" in p:
+        x = jnp.einsum("bthwc,cd->bthwd", x, p["nin_w"].astype(x.dtype)) \
+            + p["nin_b"].astype(x.dtype)
+    return x + h
+
+
+# ---------------------------------------------------------------------------
+# encoder / decoder
+
+
+def encode(params, x, cfg: VAEConfig, compute_dtype=jnp.bfloat16):
+    """x: (B, C=3, T, H, W) in [-1, 1] -> moments (B, 2*z, T', H/8, W/8)."""
+    x = x.transpose(0, 2, 3, 4, 1).astype(compute_dtype)  # NTHWC
+    upd = {}
+    h = causal_conv3d(params["conv_in"], x, None, "in", upd, False)
+    n_res = len(cfg.ch_mult)
+    for i, level in enumerate(params["down"]):
+        for blk in level["blocks"]:
+            h = resblock3d(blk, h, None, None, "", upd, False)
+        if i != n_res - 1:
+            h = downsample3d(level["down"], h,
+                             compress_time=i < cfg.temporal_compress_level)
+    h = resblock3d(params["mid1"], h, None, None, "", upd, False)
+    h = resblock3d(params["mid2"], h, None, None, "", upd, False)
+    h = _gn(params, "norm_out", h)
+    h = causal_conv3d(params["conv_out"], _swish(h), None, "out", upd, False)
+    return h.transpose(0, 4, 1, 2, 3)  # back to NCTHW
+
+
+def decode(params, z, cfg: VAEConfig, *, cache=None, stream=False,
+           compute_dtype=jnp.bfloat16):
+    """z: (B, z, T, H', W') latents (already un-scaled). Returns
+    ((B, 3, T_out, H, W), new_cache)."""
+    z = z.transpose(0, 2, 3, 4, 1).astype(compute_dtype)  # NTHWC
+    zq = z
+    upd = {}
+    n_res = len(cfg.ch_mult)
+    h = causal_conv3d(params["conv_in"], z, cache, "in", upd, stream)
+    h = resblock3d(params["mid1"], h, zq, cache, "m1", upd, stream)
+    h = resblock3d(params["mid2"], h, zq, cache, "m2", upd, stream)
+    for i_level in reversed(range(n_res)):
+        level = params["up"][i_level]
+        for j, blk in enumerate(level["blocks"]):
+            h = resblock3d(blk, h, zq, cache, f"u{i_level}.{j}", upd, stream)
+        if i_level != 0:
+            h = upsample3d(
+                level["up"], h,
+                compress_time=i_level >= n_res - cfg.temporal_compress_level)
+    h = spatial_norm3d(params["norm_out"], h, zq, cache, "no", upd, stream)
+    h = causal_conv3d(params["conv_out"], _swish(h), cache, "out", upd,
+                      stream)
+    return h.transpose(0, 4, 1, 2, 3), (upd if stream else None)
+
+
+def decode_streaming(params, z, cfg: VAEConfig, compute_dtype=jnp.bfloat16):
+    """Serial chunked decode (dif_infer.py:245-271): latent windows [0:3],
+    then [2i+1:2i+3]; conv caches carried between chunks; cache cleared on
+    the last chunk."""
+    T = z.shape[2]
+    outs = []
+    cache = None
+    start = 0
+    first = min(3, T)
+    chunks = [(0, first)]
+    t = first
+    while t < T:
+        chunks.append((t, min(t + 2, T)))
+        t += 2
+    for ci, (a, b) in enumerate(chunks):
+        last = ci == len(chunks) - 1
+        out, cache = decode(params, z[:, :, a:b], cfg, cache=cache,
+                            stream=not last, compute_dtype=compute_dtype)
+        outs.append(out)
+    return jnp.concatenate(outs, axis=2)
+
+
+def sample_posterior(moments, key=None):
+    """DiagonalGaussian (regularizers.py): moments (B, 2z, ...) -> z.
+    key=None -> mode (mean)."""
+    mean, logvar = jnp.split(moments, 2, axis=1)
+    if key is None:
+        return mean
+    logvar = jnp.clip(logvar, -30.0, 20.0)
+    std = jnp.exp(0.5 * logvar)
+    return mean + std * jax.random.normal(key, mean.shape, mean.dtype)
+
+
+# ---------------------------------------------------------------------------
+# init
+
+
+def _conv3d_init(key, kt, kh, kw, ci, co, dtype):
+    k1, = jax.random.split(key, 1)
+    fan_in = kt * kh * kw * ci
+    std = (1.0 / fan_in) ** 0.5
+    return {"w": (jax.random.normal(k1, (kt, kh, kw, ci, co)) * std).astype(dtype),
+            "b": jnp.zeros((co,), dtype)}
+
+
+def _conv2d_init(key, ci, co, dtype):
+    std = (1.0 / (9 * ci)) ** 0.5
+    return ((jax.random.normal(key, (3, 3, ci, co)) * std).astype(dtype),
+            jnp.zeros((co,), dtype))
+
+
+def _norm_init(c, dtype):
+    return {"norm_w": jnp.ones((c,), dtype), "norm_b": jnp.zeros((c,), dtype)}
+
+
+def _spatial_norm_init(key, c, zq_ch, dtype):
+    k1, k2 = jax.random.split(key)
+    return {
+        **_norm_init(c, dtype),
+        "conv_y": _conv3d_init(k1, 1, 1, 1, zq_ch, c, dtype),
+        "conv_b": _conv3d_init(k2, 1, 1, 1, zq_ch, c, dtype),
+    }
+
+
+def _resblock_init(key, cin, cout, zq_ch, dtype):
+    ks = iter(jax.random.split(key, 5))
+    if zq_ch is None:
+        n1 = _norm_init(cin, dtype)
+        n2 = _norm_init(cout, dtype)
+    else:
+        n1 = _spatial_norm_init(next(ks), cin, zq_ch, dtype)
+        n2 = _spatial_norm_init(next(ks), cout, zq_ch, dtype)
+    p = {
+        "norm1": n1,
+        "conv1": _conv3d_init(next(ks), 3, 3, 3, cin, cout, dtype),
+        "norm2": n2,
+        "conv2": _conv3d_init(next(ks), 3, 3, 3, cout, cout, dtype),
+    }
+    if cin != cout:
+        std = (1.0 / cin) ** 0.5
+        p["nin_w"] = (jax.random.normal(next(ks), (cin, cout)) * std).astype(dtype)
+        p["nin_b"] = jnp.zeros((cout,), dtype)
+    return p
+
+
+def init_encoder(key, cfg: VAEConfig, dtype=jnp.float32):
+    ks = iter(jax.random.split(key, 64))
+    ch = cfg.ch
+    in_mult = (1,) + tuple(cfg.ch_mult)
+    down = []
+    for i in range(len(cfg.ch_mult)):
+        cin = ch * in_mult[i]
+        cout = ch * cfg.ch_mult[i]
+        blocks = []
+        c = cin
+        for _ in range(cfg.num_res_blocks):
+            blocks.append(_resblock_init(next(ks), c, cout, None, dtype))
+            c = cout
+        level = {"blocks": blocks}
+        if i != len(cfg.ch_mult) - 1:
+            w, b = _conv2d_init(next(ks), cout, cout, dtype)
+            level["down"] = {"conv_w": w, "conv_b": b}
+        down.append(level)
+    top = ch * cfg.ch_mult[-1]
+    zc = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
+    return {
+        "conv_in": _conv3d_init(next(ks), 3, 3, 3, cfg.in_channels, ch, dtype),
+        "down": down,
+        "mid1": _resblock_init(next(ks), top, top, None, dtype),
+        "mid2": _resblock_init(next(ks), top, top, None, dtype),
+        "norm_out_w": jnp.ones((top,), dtype),
+        "norm_out_b": jnp.zeros((top,), dtype),
+        "conv_out": _conv3d_init(next(ks), 3, 3, 3, top, zc, dtype),
+    }
+
+
+def init_decoder(key, cfg: VAEConfig, dtype=jnp.float32):
+    ks = iter(jax.random.split(key, 64))
+    ch = cfg.ch
+    zq = cfg.z_channels
+    top = ch * cfg.ch_mult[-1]
+    up = []
+    block_in = top
+    for i_level in reversed(range(len(cfg.ch_mult))):
+        cout = ch * cfg.ch_mult[i_level]
+        blocks = []
+        c = block_in
+        for _ in range(cfg.num_res_blocks + 1):
+            blocks.append(_resblock_init(next(ks), c, cout, zq, dtype))
+            c = cout
+        level = {"blocks": blocks}
+        if i_level != 0:
+            w, b = _conv2d_init(next(ks), cout, cout, dtype)
+            level["up"] = {"conv_w": w, "conv_b": b}
+        up.insert(0, level)
+        block_in = cout
+    return {
+        "conv_in": _conv3d_init(next(ks), 3, 3, 3, cfg.z_channels, top, dtype),
+        "mid1": _resblock_init(next(ks), top, top, zq, dtype),
+        "mid2": _resblock_init(next(ks), top, top, zq, dtype),
+        "up": up,
+        "norm_out": _spatial_norm_init(next(ks), ch * cfg.ch_mult[0], zq,
+                                       dtype),
+        "conv_out": _conv3d_init(next(ks), 3, 3, 3, ch * cfg.ch_mult[0],
+                                 cfg.out_channels, dtype),
+    }
+
+
+def init(key, cfg: VAEConfig, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {"encoder": init_encoder(k1, cfg, dtype),
+            "decoder": init_decoder(k2, cfg, dtype)}

@@ -1,0 +1,119 @@
+"""Device mesh + sharding rules.
+
+Replaces the reference's process-group bookkeeping (SAT mpu model-parallel
+groups, sgm CP groups, DeepSpeed init — SURVEY §2.8) with jax.sharding:
+pick a mesh, annotate param/batch shardings, let XLA insert the ICI
+collectives.
+
+Axes:
+  data  — DP (batch)
+  model — TP (attention heads / mlp hidden, all-reduce over ICI)
+  time  — temporal/sequence sharding (VAE CP, long-video DiT)
+"""
+
+from __future__ import annotations
+
+import re
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from landiff_tpu.config import MeshConfig
+
+AXES = ("data", "model", "time")
+
+
+def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if cfg is None:
+        cfg = MeshConfig(data=1, model=len(devices), time=1)
+    assert cfg.num_devices <= len(devices), (cfg, len(devices))
+    arr = np.asarray(devices[: cfg.num_devices]).reshape(
+        cfg.data, cfg.model, cfg.time)
+    return Mesh(arr, AXES)
+
+
+# ---------------------------------------------------------------------------
+# parameter sharding rules: list of (path-regex, PartitionSpec). First match
+# wins; default replicated. Paths are '/'-joined pytree keys.
+
+# Megatron-style TP: column-parallel on the out-features of qkv/mlp-in,
+# row-parallel on the in-features of attn-out/mlp-out -> one psum per block.
+DIT_RULES = [
+    (r".*\bqkv_w$", P(None, "model")),
+    (r".*\bqkv_b$", P("model")),
+    (r".*attn_out_w$", P("model", None)),
+    (r".*mlp0_w$", P(None, "model")),
+    (r".*mlp0_b$", P("model")),
+    (r".*mlp1_w$", P("model", None)),
+    (r".*zero_linear_w$", P(None, "model")),
+]
+
+GPT_RULES = [
+    (r".*\bwqkv$", P(None, "model")),
+    (r".*\bwo$", P("model", None)),
+    (r".*\bw1$", P(None, "model")),
+    (r".*\bw3$", P(None, "model")),
+    (r".*\bw2$", P("model", None)),
+    (r".*\bhead$", P(None, "model")),
+]
+
+T5_RULES = [
+    (r".*attn/q$", P(None, "model")),
+    (r".*attn/k$", P(None, "model")),
+    (r".*attn/v$", P(None, "model")),
+    (r".*attn/o$", P("model", None)),
+    (r".*ff/wi_0$", P(None, "model")),
+    (r".*ff/wi_1$", P(None, "model")),
+    (r".*ff/wo$", P("model", None)),
+]
+
+TITOK_RULES = [
+    (r".*\bwq$", P(None, "model")),
+    (r".*\bwk$", P(None, "model")),
+    (r".*\bwv$", P(None, "model")),
+    (r".*\bwo$", P("model", None)),
+    (r".*fc0_w$", P(None, "model")),
+    (r".*fc1_w$", P("model", None)),
+]
+
+
+def _path_str(path) -> str:
+    parts = []
+    for k in path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def spec_for(path: str, rules) -> P:
+    for pat, spec in rules:
+        if re.match(pat, path):
+            return spec
+    return P()
+
+
+def param_specs(params, rules):
+    """Pytree of PartitionSpecs matching `params`."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: spec_for(_path_str(path), rules), params)
+
+
+def shard_params(params, mesh: Mesh, rules):
+    """Place params on the mesh per the rules (device_put with
+    NamedSharding)."""
+    specs = param_specs(params, rules)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
+def shardings(mesh: Mesh, specs):
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), specs,
+        is_leaf=lambda x: isinstance(x, P))

@@ -1,0 +1,102 @@
+"""Stage-2 inference wrapper: semantic tokens + prompt -> RGB video.
+
+Reference: landiff/diffusion/dif_infer.py (CogWrapper.forward :152-243,
+decode_latent :245-271, CogModelInferWrapper :274-302). The InferValueRegistry
+semantic-feature cache becomes a closure captured by the sampler loop; the
+GPU/CPU model swapping disappears (everything stays on-chip).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from landiff_tpu.config import LanDiffConfig
+from landiff_tpu.diffusion import engine
+from landiff_tpu.models import dit as dit_lib
+from landiff_tpu.models import semantic_cond as sc_lib
+from landiff_tpu.models import t5 as t5_lib
+from landiff_tpu.models import vae as vae_lib
+from landiff_tpu.pipeline.text import T5Text
+from landiff_tpu.utils import seed_from_text
+
+logger = logging.getLogger("landiff_tpu.dif_infer")
+
+
+@dataclass
+class VideoTask:
+    """Matches dif_infer.py:91-98."""
+
+    save_file_name: str
+    prompt: str
+    seed: int
+    fps: int = 8
+    semantic_token: np.ndarray | None = None
+    result: np.ndarray | None = None        # (B, 3, T, H, W) in [0,1]
+    latent: np.ndarray | None = None        # (B, T, C, H', W')
+
+
+class CogModelInferWrapper:
+    """params: {"main": DiT, "control": control DiT, "semantic": semantic
+    conditioner, "vae": VAE, "t5": stage-2 T5}."""
+
+    def __init__(self, params, cfg: LanDiffConfig,
+                 tokenizer_dir: str | None = None,
+                 compute_dtype=jnp.bfloat16, attn_impl="auto"):
+        self.params = params
+        self.cfg = cfg
+        self.compute_dtype = compute_dtype
+        self.attn_impl = attn_impl
+        # stage-2 T5: max_length 226, padding to max, no attention mask
+        # (encoders/modules.py:271-289)
+        self.text = T5Text(tokenizer_dir or cfg.t5.model_name or None,
+                           max_length=cfg.dit.text_length,
+                           padding_side="right")
+
+    def encode_text(self, prompt: str):
+        ids, _ = self.text([prompt], pad_to_max=True)
+        # reference passes no attention mask: pads are attended (fp32)
+        return t5_lib.encode(self.params["t5"], jnp.asarray(ids), None,
+                             self.cfg.t5, compute_dtype=jnp.float32)
+
+    def __call__(self, task: VideoTask) -> VideoTask:
+        cfg = self.cfg
+        assert task.semantic_token is not None, "stage-1 codes required"
+        tokens = jnp.asarray(task.semantic_token).reshape(1, -1)
+
+        seed = seed_from_text(str(task.prompt), task.seed)
+        key = jax.random.PRNGKey(seed)
+
+        context = self.encode_text(task.prompt)
+        uc_context = jnp.zeros_like(context)  # force_uc_zero_embeddings
+
+        denoise_fn = engine.make_denoise_fn(
+            self.params["main"], self.params["control"],
+            self.params["semantic"], cfg.dit, cfg.sampler, cfg.tokenizer,
+            cfg.semantic_cond, context, uc_context, tokens,
+            compute_dtype=self.compute_dtype, attn_impl=self.attn_impl)
+        latents = engine.sample_latents(denoise_fn, cfg.sampler, cfg.dit,
+                                        key=key)
+        video = engine.decode_first_stage(self.params["vae"], latents,
+                                          cfg.vae,
+                                          compute_dtype=self.compute_dtype)
+        video = engine.post_process_video(video)
+        return dataclasses.replace(task, result=np.asarray(video),
+                                   latent=np.asarray(latents))
+
+
+def init_params(key, cfg: LanDiffConfig, dtype=jnp.float32):
+    ks = jax.random.split(key, 5)
+    return {
+        "main": dit_lib.init(ks[0], cfg.dit, dtype=dtype),
+        "control": dit_lib.init(ks[1], cfg.dit, control=True, dtype=dtype),
+        "semantic": sc_lib.init(ks[2], cfg.tokenizer, cfg.semantic_cond,
+                                dtype),
+        "vae": vae_lib.init(ks[3], cfg.vae, dtype),
+        "t5": t5_lib.init(ks[4], cfg.t5, dtype),
+    }

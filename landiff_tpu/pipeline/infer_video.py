@@ -1,0 +1,124 @@
+"""End-to-end CLI: prompt -> semantic tokens -> video (mp4 + npy).
+
+Reference: landiff/infer_video.py (main :105-114, llm_infer :61-86,
+infer_diffusion :89-102). No GPU<->CPU model swapping: both stages live
+on-chip. `--tiny` runs the full pipeline with a tiny random-init config (no
+checkpoints needed — smoke/benchmark mode)."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from landiff_tpu.config import ARSampleConfig, LanDiffConfig, \
+    tiny_test_config
+from landiff_tpu.pipeline import dif_infer, llm_infer
+from landiff_tpu.utils import save_video_tensor
+
+logger = logging.getLogger("landiff_tpu.infer_video")
+
+
+def build_pipeline(cfg: LanDiffConfig, sample_cfg: ARSampleConfig,
+                   seed: int = 0, ckpt_dir: str | None = None,
+                   compute_dtype=jnp.bfloat16):
+    """Returns (llm_wrapper, dif_wrapper). With a checkpoint dir, loads
+    converted weights (ckpt/convert.py); otherwise random-init (smoke)."""
+    if ckpt_dir is not None:
+        from landiff_tpu.ckpt import load as ckpt_load
+
+        llm_params = ckpt_load.load_stage1(ckpt_dir, cfg)
+        dif_params = ckpt_load.load_stage2(ckpt_dir, cfg)
+        tok_dir = str(Path(ckpt_dir) / "t5-v1_1-xxl")
+    else:
+        key = jax.random.PRNGKey(seed)
+        k1, k2 = jax.random.split(key)
+        llm_params = llm_infer.init_params(k1, cfg.llm, cfg.t5)
+        dif_params = dif_infer.init_params(k2, cfg)
+        tok_dir = None
+    llm = llm_infer.ArModelInferWrapper(
+        llm_params, cfg.llm, cfg.t5, sample_cfg, tokenizer_dir=tok_dir,
+        compute_dtype=compute_dtype)
+    dif = dif_infer.CogModelInferWrapper(
+        dif_params, cfg, tokenizer_dir=tok_dir, compute_dtype=compute_dtype)
+    return llm, dif
+
+
+def run(prompt: str, output_dir: str = "results", seed: int = 42,
+        cfg_scale: float = 7.5, motion_score: float = 0.1,
+        num_frames: int = 13, tiny: bool = False,
+        ckpt_dir: str | None = None, fps: int = 8):
+    cfg = tiny_test_config() if tiny else LanDiffConfig()
+    sample_cfg = ARSampleConfig(cfg_scale=cfg_scale,
+                                motion_score=motion_score,
+                                num_frames=num_frames if not tiny
+                                else cfg.llm.frames_per_segment,
+                                seed=seed)
+    dtype = jnp.float32 if tiny else jnp.bfloat16
+    llm, dif = build_pipeline(cfg, sample_cfg, seed, ckpt_dir,
+                              compute_dtype=dtype)
+
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    stem = "".join(c if c.isalnum() else "_" for c in prompt[:48])
+
+    t0 = time.time()
+    code_task = llm(llm_infer.CodeTask(save_file_name=f"{stem}.npy",
+                                       prompt=prompt))
+    t1 = time.time()
+    np.save(out / f"{stem}_codes.npy", code_task.result)
+    logger.info("stage 1: %d codes in %.1fs", len(code_task.result), t1 - t0)
+
+    video_task = dif(dif_infer.VideoTask(
+        save_file_name=f"{stem}.mp4", prompt=prompt, seed=seed, fps=fps,
+        semantic_token=code_task.result))
+    t2 = time.time()
+    logger.info("stage 2: video %s in %.1fs", video_task.result.shape,
+                t2 - t1)
+
+    save_video_tensor(video_task.result[0], str(out / f"{stem}.mp4"), fps)
+    return {"codes": code_task.result, "video": video_task.result,
+            "stage1_s": t1 - t0, "stage2_s": t2 - t1}
+
+
+def main():
+    parser = argparse.ArgumentParser(description="LanDiff-TPU text-to-video")
+    parser.add_argument("--prompt", required=True)
+    parser.add_argument("--output-dir", default="results")
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--cfg-scale", type=float, default=7.5)
+    parser.add_argument("--motion-score", type=float, default=0.1)
+    parser.add_argument("--num-frames", type=int, default=13,
+                        help="semantic frames (13 -> 49 RGB)")
+    parser.add_argument("--ckpt-dir", default=None,
+                        help="converted checkpoint dir (default: "
+                             "LANDIFF_HOME resolution)")
+    parser.add_argument("--tiny", action="store_true",
+                        help="tiny random-init config (no ckpts; smoke)")
+    parser.add_argument("--fps", type=int, default=8)
+    args = parser.parse_args()
+    logging.basicConfig(level=logging.INFO)
+
+    ckpt_dir = args.ckpt_dir
+    if ckpt_dir is None and not args.tiny:
+        import landiff_tpu
+
+        mp = landiff_tpu.initialize_model_path(required=False)
+        ckpt_dir = str(mp) if mp else None
+        if ckpt_dir is None:
+            logger.warning("no checkpoints found; running random-init "
+                           "(output will be noise) — pass --tiny for smoke")
+    res = run(args.prompt, args.output_dir, args.seed, args.cfg_scale,
+              args.motion_score, args.num_frames, args.tiny, ckpt_dir,
+              args.fps)
+    print(f"stage1 {res['stage1_s']:.1f}s stage2 {res['stage2_s']:.1f}s "
+          f"video {res['video'].shape}")
+
+
+if __name__ == "__main__":
+    main()

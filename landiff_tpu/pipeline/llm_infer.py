@@ -1,0 +1,104 @@
+"""Stage-1 inference wrapper: prompt -> semantic token codes.
+
+Reference: landiff/llm/llm_infer.py (ArModelInferWrapper :58-105,
+ARSampleCfg :13-46, CodeTask :49-55). The reference's per-token Python loop
+becomes the jitted sampler in models/lm.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from landiff_tpu.config import ARSampleConfig, LLMConfig, T5Config
+from landiff_tpu.models import lm as lm_lib
+from landiff_tpu.models import t5 as t5_lib
+from landiff_tpu.pipeline.text import T5Text
+
+logger = logging.getLogger("landiff_tpu.llm_infer")
+
+
+@dataclass
+class CodeTask:
+    """Matches llm_infer.py:49-55."""
+
+    save_file_name: str
+    prompt: str
+    result: np.ndarray | None = None
+
+
+class ArModelInferWrapper:
+    """Builds the LM from params, runs constrained AR sampling.
+
+    Args:
+      params: {"lm": lm params, "t5": t5 params} (random-init for smoke).
+    """
+
+    def __init__(self, params, llm_cfg: LLMConfig, t5_cfg: T5Config,
+                 sample_cfg: ARSampleConfig | None = None,
+                 tokenizer_dir: str | None = None,
+                 compute_dtype=jnp.bfloat16):
+        self.params = params
+        self.llm_cfg = llm_cfg
+        self.t5_cfg = t5_cfg
+        self.sample_cfg = sample_cfg or ARSampleConfig()
+        self.compute_dtype = compute_dtype
+        self.text = T5Text(tokenizer_dir or t5_cfg.model_name or None,
+                           max_length=t5_cfg.max_length, padding_side="left")
+
+    def encode_text(self, prompt: str):
+        """T5 encode, unpadded features (conditioner.py:230-264 path)."""
+        ids, mask = self.text([prompt])
+        emb = t5_lib.encode(self.params["t5"], jnp.asarray(ids),
+                            jnp.asarray(mask), self.t5_cfg,
+                            compute_dtype=self.compute_dtype)
+        n = int(mask[0].sum())
+        return emb[0, np.nonzero(mask[0])[0]], n
+
+    def __call__(self, task: CodeTask) -> CodeTask:
+        cfg = self.llm_cfg
+        sc = self.sample_cfg
+        lm_params = self.params["lm"]
+
+        text_feats_raw, n_text = self.encode_text(task.prompt)
+        text_feats = lm_lib.text_cond_features(lm_params, text_feats_raw,
+                                               self.compute_dtype)
+        micro = lm_lib.micro_cond_features(
+            lm_params, cfg,
+            {"frames": sc.num_frames, "motion_score": sc.motion_score},
+            self.compute_dtype)
+        prompt_feats = lm_lib.assemble_prompt(lm_params, cfg, text_feats,
+                                              micro, self.compute_dtype)
+        with_guidance = sc.cfg_scale > 0 and sc.cfg_scale != 1
+        if with_guidance:
+            null = lm_lib.null_text_features(lm_params, n_text,
+                                             self.compute_dtype)
+            uncond = lm_lib.assemble_prompt(lm_params, cfg, null, micro,
+                                            self.compute_dtype)
+            rows = jnp.stack([prompt_feats, uncond])
+        else:
+            rows = prompt_feats[None]
+
+        sched = lm_lib.build_schedule(cfg, prompt_feats.shape[0],
+                                      sc.num_frames)
+        codes = lm_lib.sample(lm_params, cfg, sched, rows, sc,
+                              rng_key=jax.random.PRNGKey(sc.seed),
+                              compute_dtype=self.compute_dtype)
+        task = dataclasses.replace(task, result=np.asarray(codes))
+        logger.info("sampled %d semantic tokens for %r", len(codes),
+                    task.prompt[:60])
+        return task
+
+
+def init_params(key, llm_cfg: LLMConfig, t5_cfg: T5Config,
+                dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {
+        "lm": lm_lib.init(k1, llm_cfg, t5_dim=t5_cfg.d_model, dtype=dtype),
+        "t5": t5_lib.init(k2, t5_cfg, dtype),
+    }

@@ -1,0 +1,109 @@
+"""Stage-2 training: VideoDiffusionLoss + ControlNet train step.
+
+Reference: sgm/modules/diffusionmodules/loss.py (VideoDiffusionLoss:98-202)
+and sigma_sampling.py (DiscreteSampling:18-72). The reference trains only the
+control branch (freeze_dit=True, dit_video_concat.py:1190-1193); the MP-group
+noise/idx broadcasts (loss.py:130-140) are unnecessary under pjit — every
+device sees the same traced randomness by construction.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from landiff_tpu.config import DiTConfig, SamplerConfig, SemanticCondConfig, \
+    TokenizerConfig
+from landiff_tpu.diffusion import schedule
+from landiff_tpu.models import dit as dit_lib
+from landiff_tpu.models import semantic_cond as sc_lib
+
+
+def uniform_sigma_indices(key, n_samples: int, num_idx: int,
+                          dp_rank: int = 0, dp_size: int = 1):
+    """DiscreteSampling uniform_sampling groups (sigma_sampling.py:31-63):
+    rank r draws timesteps from its group's interval so a DP batch covers
+    the noise levels evenly."""
+    i = 1
+    while dp_size % i != 0 or num_idx % (dp_size // i) != 0:
+        i += 1
+    group_num = dp_size // i
+    group_width = dp_size // group_num
+    interval = num_idx // group_num
+    g = dp_rank // group_width
+    return jax.random.randint(key, (n_samples,), g * interval,
+                              (g + 1) * interval)
+
+
+def video_diffusion_loss(main_params, control_params, sem_params,
+                         latents, context, semantic_tokens, key,
+                         dit_cfg: DiTConfig, sampler_cfg: SamplerConfig,
+                         tok_cfg: TokenizerConfig,
+                         sem_cfg: SemanticCondConfig, *,
+                         fixed_frames: int = 0, dp_rank: int = 0,
+                         dp_size: int = 1, compute_dtype=jnp.bfloat16):
+    """v-pred L2 with 1/(1-acp) weighting; prefix frames kept clean and
+    excluded from the loss (loss.py:155-172)."""
+    B = latents.shape[0]
+    k_idx, k_noise = jax.random.split(key)
+    table = jnp.asarray(
+        schedule.zero_snr_sigmas(sampler_cfg, sampler_cfg.num_train_timesteps,
+                                 return_idx=False).copy(), jnp.float32)
+    idx = uniform_sigma_indices(k_idx, B, sampler_cfg.num_train_timesteps,
+                                dp_rank, dp_size)
+    acs = table[idx]                                   # alpha_cumprod_sqrt
+    noise = jax.random.normal(k_noise, latents.shape, jnp.float32)
+    a = acs.reshape(B, 1, 1, 1, 1)
+    x = latents.astype(jnp.float32)
+    noised = x * a + noise * jnp.sqrt(1.0 - a ** 2)
+    if fixed_frames > 0:
+        noised = jnp.concatenate([x[:, :fixed_frames],
+                                  noised[:, fixed_frames:]], axis=1)
+
+    sem_feature = sc_lib.semantic_feature_from_tokens(
+        sem_params, semantic_tokens, tok_cfg, sem_cfg,
+        forward_t=dit_cfg.latent_frames, compute_dtype=compute_dtype)
+
+    # DiscreteDenoiser: c_skip=a, c_out=-sqrt(1-a^2), c_in=1, c_noise=idx
+    net_out = dit_lib.control_warp_forward(
+        main_params, control_params, noised.astype(compute_dtype),
+        idx.astype(jnp.float32), context, dit_cfg, sem_feature,
+        compute_dtype=compute_dtype).astype(jnp.float32)
+    denoised = net_out * (-jnp.sqrt(1.0 - a ** 2)) + noised * a
+
+    w = 1.0 / (1.0 - a ** 2)
+    tgt, out = x, denoised
+    if fixed_frames > 0:
+        tgt = tgt[:, fixed_frames:]
+        out = out[:, fixed_frames:]
+        w = jnp.broadcast_to(w, x.shape)[:, fixed_frames:]
+    per_sample = jnp.mean((w * (out - tgt) ** 2).reshape(B, -1), axis=1)
+    return jnp.mean(per_sample)
+
+
+def make_train_step(optimizer, dit_cfg, sampler_cfg, tok_cfg, sem_cfg, *,
+                    fixed_frames: int = 0, compute_dtype=jnp.bfloat16):
+    """ControlNet training step: grads w.r.t. the control branch only
+    (freeze_dit semantics)."""
+
+    def loss_fn(control_params, main_params, sem_params, latents, context,
+                tokens, key):
+        return video_diffusion_loss(
+            main_params, control_params, sem_params, latents, context,
+            tokens, key, dit_cfg, sampler_cfg, tok_cfg, sem_cfg,
+            fixed_frames=fixed_frames, compute_dtype=compute_dtype)
+
+    def train_step(control_params, opt_state, main_params, sem_params,
+                   latents, context, tokens, key):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            control_params, main_params, sem_params, latents, context,
+            tokens, key)
+        updates, opt_state = optimizer.update(grads, opt_state,
+                                              control_params)
+        import optax
+
+        control_params = optax.apply_updates(control_params, updates)
+        return control_params, opt_state, loss
+
+    return train_step

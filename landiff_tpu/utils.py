@@ -63,17 +63,28 @@ def cthw_to_uint8(video: np.ndarray) -> np.ndarray:
     return np.clip(imgs, 0, 255).astype(np.uint8)
 
 
-def save_video_tensor(video, video_path: str, fps: int = 8) -> None:
-    """Write a (C,T,H,W) float video in [0,1] to mp4 (utils.py:334-343)."""
+def save_video_tensor(video, video_path: str, fps: int = 8) -> Path:
+    """Write a (C,T,H,W) float video in [0,1] to mp4 (utils.py:334-343).
+    Falls back to GIF when no ffmpeg backend is available (offline images);
+    returns the path actually written."""
     import imageio
 
     images = cthw_to_uint8(np.asarray(video))
     path = Path(video_path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    with open(path, "wb") as f:
-        with imageio.get_writer(f, format="mp4", fps=fps) as writer:
-            for image in images:
-                writer.append_data(image)
+    try:
+        with open(path, "wb") as f:
+            with imageio.get_writer(f, format="mp4", fps=fps) as writer:
+                for image in images:
+                    writer.append_data(image)
+        return path
+    except Exception as e:  # no ffmpeg plugin
+        logger.warning("mp4 writer unavailable (%s); writing GIF", e)
+        path.unlink(missing_ok=True)
+        gif = path.with_suffix(".gif")
+        imageio.mimsave(gif, list(images), format="GIF",
+                        duration=1000.0 / fps)
+        return gif
 
 
 def count_params(params) -> int:
