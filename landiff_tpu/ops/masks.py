@@ -149,9 +149,14 @@ def video_decoder_mask(layout: VideoMaskLayout):
 
 def materialize(mask_fn, q_len: int, kv_len: int) -> np.ndarray:
     """Dense (q_len, kv_len) bool mask on host."""
+    import jax
+
     q = np.arange(q_len)[:, None]
     kv = np.arange(kv_len)[None, :]
-    out = np.asarray(mask_fn(jnp.asarray(q), jnp.asarray(kv)))
+    # callers may be inside a jit trace (flash_attention builds its block
+    # tables at trace time) — force compile-time evaluation
+    with jax.ensure_compile_time_eval():
+        out = np.asarray(mask_fn(jnp.asarray(q), jnp.asarray(kv)))
     # specs that ignore one operand return a broadcastable (1, kv) row
     return np.broadcast_to(out, (q_len, kv_len))
 
