@@ -1,0 +1,59 @@
+"""Stage-1 AR decode benchmark: full-size LLM (24x2048, CFG rows=2),
+1,244-step constrained decode as one jitted fori_loop.
+
+The reference runs this as a Python loop of ~1,244 sequential
+forward+sample steps on GPU (lm_model.py:408-508) — its dominant stage-1
+cost. Here the whole loop is one XLA program.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/landiff_jax_cache")
+
+from landiff_tpu.config import ARSampleConfig, LLMConfig
+from landiff_tpu.models import lm
+
+
+def main():
+    cfg = LLMConfig()
+    dt = jnp.bfloat16
+    params = lm.init(jax.random.PRNGKey(0), cfg, t5_dim=4096, dtype=dt)
+    text_len = int(os.environ.get("LANDIFF_BENCH_TEXT_LEN", "120"))
+    prefix_len = 1 + 2 + text_len + 1
+    num_frames = int(os.environ.get("LANDIFF_BENCH_FRAMES", "13"))
+    sched = lm.build_schedule(cfg, prefix_len, num_frames)
+    rows = jnp.zeros((2, prefix_len, cfg.hidden_size), dt)
+    scfg = ARSampleConfig(cfg_scale=7.5, num_frames=num_frames)
+
+    t0 = time.time()
+    codes = lm.sample(params, cfg, sched, rows, scfg,
+                      rng_key=jax.random.PRNGKey(1), compute_dtype=dt,
+                      cache_dtype=dt)
+    compile_s = time.time() - t0
+    times = []
+    for i in range(2):
+        t = time.time()
+        codes = lm.sample(params, cfg, sched, rows, scfg,
+                          rng_key=jax.random.PRNGKey(2 + i),
+                          compute_dtype=dt, cache_dtype=dt)
+        times.append(time.time() - t)
+    total_s = min(times)
+    steps = sched.full_len - sched.prefix_len
+    print(json.dumps({
+        "metric": "stage1_ar_decode_s",
+        "value": round(total_s, 3),
+        "unit": f"s/{steps}steps",
+        "vs_baseline": None,
+    }))
+    print(f"# compile {compile_s:.1f}s, {steps} steps, "
+          f"{total_s / steps * 1e3:.2f} ms/step, codes {codes.shape}")
+
+
+if __name__ == "__main__":
+    main()

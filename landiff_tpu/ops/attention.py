@@ -62,27 +62,63 @@ def _flash_kernel(count_ref,     # SMEM (nq,) int32: visible kv-block count
                   order_ref,     # SMEM (nq, nk) int32: visible kv-block ids
                   kind_ref,      # SMEM (nq, nk) int32: 1 partial / 2 full
                   q_ref,         # VMEM (1, block_q, D)
-                  k_ref,         # VMEM (1, S_kv, D)
-                  v_ref,         # VMEM (1, S_kv, D)
+                  k_hbm,         # ANY  (BH, D, S_kv)  — transposed layout
+                  v_hbm,         # ANY  (BH, D, S_kv)
                   o_ref,         # VMEM (1, block_q, D)
+                  k_buf,         # VMEM scratch (2, D, block_kv)
+                  v_buf,         # VMEM scratch (2, D, block_kv)
+                  sem,           # DMA semaphores (2, 2)
                   *,
                   mask_fn, scale, block_q, block_kv):
     """Online-softmax flash attention over only the VISIBLE kv blocks for
-    this q block (block-sparsity skip without lax.cond: the scalar-prefetch
-    order table makes every loop iteration real work)."""
+    this q block. K/V stay in HBM in (D, S) layout — manual DMA slices must
+    be 128-aligned on the minormost dim, which head_dim=64 is not, while the
+    S dim is; (D, S) is also the contraction-friendly layout for q @ k^T.
+    Blocks are DMA'd into a double buffer so fetch overlaps compute, and
+    invisible blocks are never fetched (the scalar-prefetch order table
+    provides the block-sparsity skip)."""
+    bh = pl.program_id(0)
     qi = pl.program_id(1)
+    nkb = count_ref[qi]
     q = q_ref[0].astype(jnp.float32) * scale          # (bq, D)
     m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
     a0 = jnp.zeros((block_q, q.shape[-1]), jnp.float32)
 
+    def dma_k(slot, j):
+        kj = order_ref[qi, j]
+        return pltpu.make_async_copy(
+            k_hbm.at[bh, :, pl.ds(kj * block_kv, block_kv)],
+            k_buf.at[slot], sem.at[slot, 0])
+
+    def dma_v(slot, j):
+        kj = order_ref[qi, j]
+        return pltpu.make_async_copy(
+            v_hbm.at[bh, :, pl.ds(kj * block_kv, block_kv)],
+            v_buf.at[slot], sem.at[slot, 1])
+
+    @pl.when(nkb > 0)
+    def _():
+        dma_k(0, 0).start()
+        dma_v(0, 0).start()
+
     def body(j, carry):
         m, l, acc = carry
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < nkb)
+        def _():
+            nxt = jax.lax.rem(j + 1, 2)
+            dma_k(nxt, j + 1).start()
+            dma_v(nxt, j + 1).start()
+
+        dma_k(slot, j).wait()
+        dma_v(slot, j).wait()
         kj = order_ref[qi, j]
-        k = k_ref[0, pl.ds(kj * block_kv, block_kv), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kj * block_kv, block_kv), :].astype(jnp.float32)
+        k = k_buf[slot].astype(jnp.float32)            # (D, bkv)
+        v = v_buf[slot].astype(jnp.float32)            # (D, bkv)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
+            q, k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)        # (bq, bkv)
         keep = None
         if mask_fn is not None:
@@ -103,11 +139,11 @@ def _flash_kernel(count_ref,     # SMEM (nq,) int32: visible kv-block count
             p = p * keep
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            p.astype(v_buf.dtype), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (bq, D)
         return m_new, l_new, acc_new
 
-    m, l, acc = jax.lax.fori_loop(0, count_ref[qi], body, (m0, l0, a0))
+    m, l, acc = jax.lax.fori_loop(0, nkb, body, (m0, l0, a0))
     out = acc / jnp.maximum(l, 1e-30)
     o_ref[0] = out.astype(o_ref.dtype)
 
@@ -134,10 +170,15 @@ def _flash_call(q, k, v, count, order, kind, *, mask_fn, scale, block_q,
         grid=(BH, nq),
         in_specs=[
             pl.BlockSpec((1, block_q, D), lambda bh, qi, *_: (bh, qi, 0)),
-            pl.BlockSpec((1, Skv, D), lambda bh, qi, *_: (bh, 0, 0)),
-            pl.BlockSpec((1, Skv, D), lambda bh, qi, *_: (bh, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # K stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),   # V stays in HBM
         ],
         out_specs=pl.BlockSpec((1, block_q, D), lambda bh, qi, *_: (bh, qi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, D, block_kv), q.dtype),
+            pltpu.VMEM((2, D, block_kv), v.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
     )
     kernel = functools.partial(
         _flash_kernel, mask_fn=mask_fn, scale=scale, block_q=block_q,
@@ -207,10 +248,10 @@ def flash_attention(q, k, v, *, mask_fn=None, scale=None,
         order[i, :len(ids)] = ids
         kind[i, :len(ids)] = vis[i, ids]
 
-    # BSHD -> (B*H, S, D)
+    # q: BSHD -> (B*H, S, D); k/v -> transposed (B*H, D, S) for aligned DMA
     qt = _pad_to(q.transpose(0, 2, 1, 3).reshape(B * H, Sq, D), Sq_p, 1)
-    kt = _pad_to(k.transpose(0, 2, 1, 3).reshape(B * H, Skv, D), Skv_p, 1)
-    vt = _pad_to(v.transpose(0, 2, 1, 3).reshape(B * H, Skv, D), Skv_p, 1)
+    kt = _pad_to(k.transpose(0, 2, 3, 1).reshape(B * H, D, Skv), Skv_p, 2)
+    vt = _pad_to(v.transpose(0, 2, 3, 1).reshape(B * H, D, Skv), Skv_p, 2)
 
     out = _flash_call(qt, kt, vt, jnp.asarray(count), jnp.asarray(order),
                       jnp.asarray(kind), mask_fn=kern_fn,

@@ -1,0 +1,86 @@
+"""Long-video streaming generation: prefix-conditioned chunked diffusion +
+segment-wise semantic tokens + one streaming VAE decode.
+
+Reference mechanism (SURVEY §5 long-context): the sampler's `fixed_frames`
+prefix splice (sampling.py:800-817, 834-836), engine `prefix` noise splice
+(diffusion_video.py:287-288), and the VAE conv-cache streaming decode
+(dif_infer.py:245-271). The shipped config documents the intended chunking
+"49 frames, 13 latent, prefix 7 -> gen 25 new frames" (cogvideox yaml:213).
+
+Stage 1 natively emits multi-segment token streams (1218 tokens per 13-frame
+segment, lm_model.py:175-276); each diffusion chunk conditions on its
+segment's tokens and on the last `prefix_latents` latent frames of the
+previous chunk.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from landiff_tpu.config import LanDiffConfig
+from landiff_tpu.diffusion import engine
+
+logger = logging.getLogger("landiff_tpu.long_video")
+
+
+def generate_long_video_latents(params, cfg: LanDiffConfig, context,
+                                uc_context, codes: np.ndarray, *,
+                                key, prefix_latents: int = 7,
+                                sdedit: bool = False,
+                                compute_dtype=jnp.bfloat16,
+                                attn_impl="auto"):
+    """codes: flat semantic token stream, multiple of tokens-per-segment.
+
+    Returns latents (1, T_total, C, H', W') where
+    T_total = 13 + (n_segments - 1) * (13 - prefix_latents).
+    """
+    t = cfg.tokenizer.titok
+    seg_tokens = t.latent_tokens
+    codes = np.asarray(codes).reshape(-1)
+    assert len(codes) % seg_tokens == 0, (len(codes), seg_tokens)
+    n_seg = len(codes) // seg_tokens
+    lat_frames = cfg.dit.latent_frames
+
+    all_latents = None
+    for seg in range(n_seg):
+        key, k_seg = jax.random.split(key)
+        tokens = jnp.asarray(codes[seg * seg_tokens:(seg + 1) * seg_tokens]
+                             ).reshape(1, -1)
+        denoise_fn = engine.make_denoise_fn(
+            params["main"], params["control"], params["semantic"], cfg.dit,
+            cfg.sampler, cfg.tokenizer, cfg.semantic_cond, context,
+            uc_context, tokens, compute_dtype=compute_dtype,
+            attn_impl=attn_impl)
+        if all_latents is None:
+            latents = engine.sample_latents(denoise_fn, cfg.sampler, cfg.dit,
+                                            key=k_seg)
+            all_latents = latents
+        else:
+            prefix = all_latents[:, -prefix_latents:]
+            latents = engine.sample_latents(denoise_fn, cfg.sampler, cfg.dit,
+                                            key=k_seg, prefix=prefix,
+                                            sdedit=sdedit)
+            all_latents = jnp.concatenate(
+                [all_latents, latents[:, prefix_latents:]], axis=1)
+        logger.info("segment %d/%d: latents %s", seg + 1, n_seg,
+                    all_latents.shape)
+    return all_latents
+
+
+def generate_long_video(params, cfg: LanDiffConfig, context, uc_context,
+                        codes, *, key, prefix_latents: int = 7,
+                        sdedit: bool = False, compute_dtype=jnp.bfloat16,
+                        attn_impl="auto"):
+    """Full long-video path: chunked latents -> one streaming VAE decode ->
+    (1, 3, T_rgb, H, W) in [0, 1]."""
+    latents = generate_long_video_latents(
+        params, cfg, context, uc_context, codes, key=key,
+        prefix_latents=prefix_latents, sdedit=sdedit,
+        compute_dtype=compute_dtype, attn_impl=attn_impl)
+    video = engine.decode_first_stage(params["vae"], latents, cfg.vae,
+                                      compute_dtype=compute_dtype)
+    return engine.post_process_video(video), latents

@@ -1,0 +1,48 @@
+"""Long-video streaming: multi-segment stage-1 schedule + chunked diffusion
+with prefix conditioning + single streaming VAE decode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from landiff_tpu.config import tiny_test_config
+from landiff_tpu.models import lm as lm_lib
+from landiff_tpu.pipeline import dif_infer, long_video
+
+CFG = tiny_test_config()
+
+
+def test_multi_segment_schedule():
+    """Stage-1 schedule for 2 segments (2x frames) has 2x visual tokens and
+    a forced SOI at the start of the second block."""
+    llm = CFG.llm
+    seg = llm.frames_per_segment
+    one = lm_lib.build_schedule(llm, prefix_len=9, num_frames=seg)
+    two = lm_lib.build_schedule(llm, prefix_len=9, num_frames=2 * seg)
+    assert two.num_visual == 2 * one.num_visual
+    vocab = lm_lib.Vocab(llm.codebook_size)
+    block = llm.iframe_len + (seg - 1) * llm.pframe_len + 2 * seg
+    soi2 = 8 + block  # start_of_iframe_index + visual_block_len
+    assert two.forced[soi2] == vocab.START_OF_IFRAME
+
+
+def test_long_video_two_segments():
+    key = jax.random.PRNGKey(0)
+    params = dif_infer.init_params(key, CFG)
+    t = CFG.tokenizer.titok
+    n_codes = 2 * t.latent_tokens
+    codes = np.random.default_rng(0).integers(
+        0, CFG.tokenizer.vq.codebook_size, size=n_codes)
+    ctx = jnp.zeros((1, CFG.dit.text_length, CFG.dit.text_dim))
+    video, latents = long_video.generate_long_video(
+        params, CFG, ctx, jnp.zeros_like(ctx), codes,
+        key=jax.random.PRNGKey(1), prefix_latents=1,
+        compute_dtype=jnp.float32)
+    lat_frames = CFG.dit.latent_frames
+    expect_latents = lat_frames + (lat_frames - 1)  # prefix 1
+    assert latents.shape[1] == expect_latents
+    # VAE: 1 + (T_lat - 1) * 2^compress  (tiny: compress level 1)
+    assert video.shape[2] == 1 + (expect_latents - 1) * 2
+    assert video.shape[1] == 3
+    assert not np.isnan(np.asarray(video)).any()
+    assert float(video.min()) >= 0.0 and float(video.max()) <= 1.0
