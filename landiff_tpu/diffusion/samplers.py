@@ -108,6 +108,62 @@ def vpsde_dpmpp2m_sample(
     return x
 
 
+def vpode_dpmpp2m_sample(
+    denoise_fn: Callable,
+    x: jax.Array,
+    cfg: SamplerConfig,
+    *,
+    key: jax.Array | None = None,
+    fixed_frames: int = 0,
+) -> jax.Array:
+    """Deterministic DPM-Solver++(2M) ODE (VPODEDPMPP2MSampler,
+    sampling.py:840-951)."""
+    t = sched.sampler_tables(cfg)
+    n = cfg.num_steps
+    m1 = np.zeros(n)
+    m2 = np.zeros(n)
+    m3 = np.zeros(n)
+    m4 = np.zeros(n)
+    first_order = np.zeros(n, bool)
+    for i in range(n):
+        a, an, ap = t["alpha"][i], t["alpha_next"][i], t["alpha_prev"][i]
+        c1, c2, c3, c4 = sched.dpmpp2m_ode_coeffs(a, an, ap)
+        m1[i], m2[i] = c1, c2
+        if c3 is None or an < 1e-14:
+            first_order[i] = True
+        else:
+            m3[i], m4[i] = c3, c4
+    coeffs = {
+        "m1": jnp.asarray(m1, jnp.float32), "m2": jnp.asarray(m2, jnp.float32),
+        "m3": jnp.asarray(m3, jnp.float32), "m4": jnp.asarray(m4, jnp.float32),
+        "first_order": jnp.asarray(first_order),
+        "is_last": jnp.asarray(t["idx"] == 1),
+        "alpha": jnp.asarray(t["alpha"], jnp.float32),
+        "timestep": jnp.asarray(t["timestep"], jnp.int32),
+        "idx": jnp.asarray(t["idx"], jnp.int32),
+        "cfg_scale": jnp.asarray(t["cfg_scale"], jnp.float32),
+    }
+    prefix = x[:, :fixed_frames] if fixed_frames > 0 else None
+    x = x.astype(jnp.float32)
+
+    def body(carry, step):
+        x, old_d = carry
+        if prefix is not None:
+            x = jnp.concatenate([prefix, x[:, fixed_frames:]], axis=1)
+        denoised = denoise_fn(x, step).astype(jnp.float32)
+        x_std = step["m1"] * x - step["m2"] * denoised
+        denoised_d = step["m3"] * denoised - step["m4"] * old_d
+        x_adv = step["m1"] * x - step["m2"] * denoised_d
+        x_new = jnp.where(step["first_order"], x_std, x_adv)
+        x_new = jnp.where(step["is_last"], denoised, x_new)
+        return (x_new, denoised), None
+
+    (x, _), _ = jax.lax.scan(body, (x, jnp.zeros_like(x)), coeffs, length=n)
+    if prefix is not None:
+        x = jnp.concatenate([prefix, x[:, fixed_frames:]], axis=1)
+    return x
+
+
 def video_ddim_sample(
     denoise_fn: Callable,
     x: jax.Array,

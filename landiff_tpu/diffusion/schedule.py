@@ -134,3 +134,25 @@ def dpmpp2m_coeffs(alpha: float, alpha_next: float,
         mult4 = 1 / (2 * r)
     return (float(mult1), float(mult2), float(mult3), float(mult4),
             float(mult_noise))
+
+
+def dpmpp2m_ode_coeffs(alpha: float, alpha_next: float,
+                       alpha_prev: float | None):
+    """Deterministic VP-ODE DPM++2M multipliers (VPODEDPMPP2MSampler,
+    sampling.py:840-881): mult1 without the exp(-h) SDE contraction,
+    mult2 with expm1(-h), no noise term."""
+    with np.errstate(divide="ignore"):
+        a2, an2 = np.float64(alpha) ** 2, np.float64(alpha_next) ** 2
+        lamb = np.log(np.sqrt(a2 / (1 - a2)))
+        lamb_next = np.log(np.sqrt(an2 / (1 - an2)))
+        h = lamb_next - lamb
+        mult1 = np.sqrt((1 - an2) / (1 - a2))
+        mult2 = np.expm1(-h) * alpha_next
+        if alpha_prev is None or np.isnan(alpha_prev):
+            return float(mult1), float(mult2), None, None
+        ap2 = np.float64(alpha_prev) ** 2
+        lamb_prev = np.log(np.sqrt(ap2 / (1 - ap2)))
+        r = (lamb - lamb_prev) / h
+        mult3 = 1 + 1 / (2 * r)
+        mult4 = 1 / (2 * r)
+    return float(mult1), float(mult2), float(mult3), float(mult4)

@@ -234,6 +234,57 @@ def control_warp_forward(main_params, control_params, x, timesteps, context,
                    compute_dtype=compute_dtype)
 
 
+def control_mlp_adapter_forward(params, x, context, cfg: DiTConfig, *,
+                                compute_dtype=jnp.bfloat16):
+    """ControlMLPAdapter (dit_video_concat.py:1030-1161): the lighter
+    control alternative — patch embed + per-layer (LN -> D->2D -> SiLU ->
+    2D->D) residual adapters, each tapped through a zero-init linear.
+    Note the reference computes the semantic feature but does not add it to
+    x in this adapter (literal parity); x is patch-embedded directly."""
+    dt = compute_dtype
+    B, T, C, Hh, Ww = x.shape
+    P = cfg.patch_size
+    xi = x.astype(dt).transpose(0, 1, 3, 4, 2).reshape(B * T, Hh, Ww, C)
+    emb = jax.lax.conv_general_dilated(
+        xi, params["patch_w"].astype(dt), (P, P), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + params["patch_b"].astype(dt)
+    n = (Hh // P) * (Ww // P)
+    hidden = emb.reshape(B, T * n, cfg.hidden_size)
+    text = _linear(params, "text_proj", context.astype(dt))
+    hidden = jnp.concatenate([text, hidden], axis=1)
+    outs = []
+    for p in params["adapters"]:
+        h = layer_norm(hidden, p["ln_w"], p["ln_b"], 1e-5)
+        h = jax.nn.silu(_linear(p, "fc0", h))
+        hidden = hidden + _linear(p, "fc1", h)
+        outs.append(hidden @ p["zero_linear_w"].astype(dt))
+    return outs
+
+
+def init_mlp_adapter(key, cfg: DiTConfig, dtype=jnp.float32):
+    D = cfg.hidden_size
+    P = cfg.patch_size
+    ks = iter(jax.random.split(key, cfg.control_layers + 4))
+    nrm = lambda k, s, std=0.02: (jax.random.normal(k, s) * std).astype(dtype)
+    adapters = []
+    for _ in range(cfg.control_layers):
+        k = next(ks)
+        k1, k2 = jax.random.split(k)
+        adapters.append({
+            "ln_w": jnp.ones((D,), dtype), "ln_b": jnp.zeros((D,), dtype),
+            "fc0_w": nrm(k1, (D, 2 * D)), "fc0_b": jnp.zeros((2 * D,), dtype),
+            "fc1_w": nrm(k2, (2 * D, D)), "fc1_b": jnp.zeros((D,), dtype),
+            "zero_linear_w": jnp.zeros((D, D), dtype),
+        })
+    return {
+        "patch_w": nrm(next(ks), (P, P, cfg.in_channels, D)),
+        "patch_b": jnp.zeros((D,), dtype),
+        "text_proj_w": nrm(next(ks), (cfg.text_dim, D)),
+        "text_proj_b": jnp.zeros((D,), dtype),
+        "adapters": adapters,
+    }
+
+
 # ---------------------------------------------------------------------------
 # init
 

@@ -219,15 +219,20 @@ class _SampleStatic:
     guidance_scale: float
 
 
-def _sample_token(logits, forced_t, key, st: _SampleStatic):
-    """CFG combine + temperature/top-k/top-p + structural forcing for one
-    step. logits: (rows, V) fp32 (rows=2 iff guidance). Returns scalar token."""
+def _combined_logits(logits, st: _SampleStatic):
+    """CFG combine + temperature. logits: (rows, V) fp32."""
     if st.guidance_scale > 0 and st.guidance_scale != 1:
         cond, uncond = logits[0], logits[1]
         logits = uncond + st.guidance_scale * (cond - uncond)
     else:
         logits = logits[0]
-    logits = logits / st.temperature
+    return logits / st.temperature
+
+
+def _sample_token(logits, forced_t, key, st: _SampleStatic):
+    """top-k/top-p + structural forcing for one step. logits: (rows, V)
+    fp32 (rows=2 iff guidance). Returns scalar token."""
+    logits = _combined_logits(logits, st)
     if st.top_k > 0:
         logits = top_k_filter_logits(logits, st.top_k)
     probs = jax.nn.softmax(logits, axis=-1)
@@ -237,8 +242,20 @@ def _sample_token(logits, forced_t, key, st: _SampleStatic):
     return jnp.where(forced_t >= 0, forced_t, sampled)
 
 
+def _sample_restricted(logits, forced_t, eos_id, key, st: _SampleStatic):
+    """Structural positions where EOS may fire sample from the RESTRICTED
+    set {forced, EOS} (lm_model.py:448-453 possable_indexes mask)."""
+    logits = _combined_logits(logits, st)
+    v = logits.shape[-1]
+    ids = jnp.arange(v)
+    allowed = (ids == forced_t) | (ids == eos_id)
+    masked = jnp.where(allowed, logits, -jnp.inf)
+    return jax.random.categorical(key, masked)
+
+
 def sample(params, cfg: LLMConfig, schedule: SampleSchedule, prompt_features,
            sample_cfg: ARSampleConfig, *, rng_key,
+           teacher_tokens=None, predict_eos: bool = False,
            compute_dtype=jnp.bfloat16, cache_dtype=jnp.bfloat16):
     """Constrained AR decode (lm_model.py:293-516), fully jitted.
 
@@ -246,16 +263,30 @@ def sample(params, cfg: LLMConfig, schedule: SampleSchedule, prompt_features,
       prompt_features: (rows, prefix_len, D) — rows=2 for CFG ([cond, uncond])
         else 1.
       schedule: static structural schedule from build_schedule.
-    Returns: (num_visual,) int32 codes clamped to the visual range.
+      teacher_tokens: optional (full_len,) ground-truth tokens; when given,
+        the fed token is the ground truth (teacher forcing,
+        lm_model.py:506-507) while sampled tokens are still recorded.
+      predict_eos: allow early termination when EOS is sampled at an
+        allowed position (lm_model.py:455-462); codes after the stop are
+        dropped.
+    Returns: (num_visual,) int32 codes clamped to the visual range (shorter
+    if predict_eos fired).
     """
     st = _SampleStatic(
         cfg=cfg, prefix_len=schedule.prefix_len, full_len=schedule.full_len,
         temperature=sample_cfg.temperature, top_k=sample_cfg.top_k,
         top_p=sample_cfg.top_p, guidance_scale=sample_cfg.cfg_scale)
-    tokens = _sample_jit(params, prompt_features,
-                         jnp.asarray(schedule.forced), rng_key, st,
-                         compute_dtype, cache_dtype)
-    codes = np.asarray(tokens)[schedule.visual]
+    teacher = (jnp.full((schedule.full_len,), -1, jnp.int32)
+               if teacher_tokens is None
+               else jnp.asarray(teacher_tokens, jnp.int32))
+    tokens, stop_pos = _sample_jit(
+        params, prompt_features, jnp.asarray(schedule.forced),
+        jnp.asarray(schedule.allow_eos), teacher, rng_key, st,
+        predict_eos, compute_dtype, cache_dtype)
+    tokens = np.asarray(tokens)
+    keep = schedule.visual & (np.arange(schedule.full_len)
+                              < int(stop_pos))
+    codes = tokens[keep]
     return np.clip(codes, 0, cfg.codebook_size - 1)
 
 
@@ -267,11 +298,12 @@ def _embed_token(params, tok, rows: int):
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("st", "compute_dtype",
-                                             "cache_dtype"))
-def _sample_jit(params, prompt_features, forced, rng_key, st: _SampleStatic,
-                compute_dtype, cache_dtype):
+@functools.partial(jax.jit, static_argnames=("st", "predict_eos",
+                                             "compute_dtype", "cache_dtype"))
+def _sample_jit(params, prompt_features, forced, allow_eos, teacher, rng_key,
+                st: _SampleStatic, predict_eos, compute_dtype, cache_dtype):
     cfg = st.cfg
+    vocab = Vocab(cfg.codebook_size)
     rows = prompt_features.shape[0]
     cos_t, sin_t = rope_1d_table(cfg.rope)
     cos = jnp.asarray(cos_t[: st.full_len])
@@ -284,23 +316,40 @@ def _sample_jit(params, prompt_features, forced, rng_key, st: _SampleStatic,
         compute_dtype=compute_dtype)
 
     out0 = jnp.zeros((st.full_len,), jnp.int32)
+    stop0 = jnp.asarray(st.full_len, jnp.int32)
 
-    def body(i, carry):
-        logits, cache, key, out = carry
+    def body(carry):
+        i, logits, cache, key, out, stop = carry
         key, sub = jax.random.split(key)
-        tok = _sample_token(logits, forced[i], sub, st).astype(jnp.int32)
-        out = out.at[i].set(tok)
-        feat = _embed_token(params, tok, rows).astype(compute_dtype)
+        sampled = _sample_token(logits, forced[i], sub, st).astype(jnp.int32)
+        if predict_eos:
+            # at eos-allowed structural positions, draw from {forced, EOS}
+            restricted = _sample_restricted(
+                logits, forced[i], vocab.EOS, sub, st).astype(jnp.int32)
+            hit_eos = allow_eos[i] & (restricted == vocab.EOS)
+            sampled = jnp.where(allow_eos[i] & (forced[i] >= 0), restricted,
+                                sampled)
+            stop = jnp.where(hit_eos, jnp.minimum(stop, i), stop)
+        out = out.at[i].set(sampled)
+        fed = jnp.where(teacher[i] >= 0, teacher[i], sampled)
+        feat = _embed_token(params, fed, rows).astype(compute_dtype)
         logits, cache = gpt.decode_step(
             params["gpt"], feat, cache, i, cfg,
             jax.lax.dynamic_slice_in_dim(cos, i, 1),
             jax.lax.dynamic_slice_in_dim(sin, i, 1),
             compute_dtype=compute_dtype)
-        return logits, cache, key, out
+        return i + 1, logits, cache, key, out, stop
 
-    _, _, _, out = jax.lax.fori_loop(
-        st.prefix_len, st.full_len, body, (logits, cache, rng_key, out0))
-    return out
+    def cond(carry):
+        i = carry[0]
+        stop = carry[5]
+        return (i < st.full_len) & (i <= stop)
+
+    _, _, _, _, out, stop = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(st.prefix_len, jnp.int32), logits, cache, rng_key,
+         out0, stop0))
+    return out, stop
 
 
 # ---------------------------------------------------------------------------

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from landiff_tpu.config import TokenizerConfig, VQConfig
 from landiff_tpu.models import theia as theia_lib
@@ -64,6 +65,44 @@ def commit_loss(qp, z):
     idx = jnp.argmin(d, axis=-1)
     e = jax.lax.stop_gradient(cb[idx])
     return jnp.mean(jnp.sum((zin - e) ** 2, -1) / zin.shape[-1]), idx
+
+
+# ---------------------------------------------------------------------------
+# FSQ (finite scalar quantization) — the alternative quantizer TowDVQ
+# supports (video_titok_vq.py:92-96 isinstance(FSQ) branch), matching
+# vector_quantize_pytorch.FSQ semantics.
+
+
+def fsq_quantize(z, levels: tuple[int, ...]):
+    """z: (..., len(levels)) -> (codes in [-1,1], flat indices).
+
+    Even levels use the half-integer offset trick (FSQ paper / vqp impl):
+    bound(z) = tanh(z + atanh(offset/half_l)) * half_l - offset."""
+    lv = jnp.asarray(levels, jnp.float32)
+    half_l = (lv - 1.0) / 2.0
+    offset = jnp.where(jnp.asarray(levels) % 2 == 0, 0.5, 0.0)
+    shift = jnp.arctanh(offset / half_l)
+    bounded = jnp.tanh(z.astype(jnp.float32) + shift) * half_l - offset
+    rounded = jnp.round(bounded)
+    q = bounded + jax.lax.stop_gradient(rounded - bounded)
+    half_w = jnp.asarray([L // 2 for L in levels], jnp.float32)
+    digits = (rounded + half_w).astype(jnp.int32)
+    basis = jnp.asarray(
+        [int(np.prod(levels[:i])) for i in range(len(levels))], jnp.int32)
+    idx = jnp.sum(digits * basis, axis=-1)
+    return q / half_w, idx
+
+
+def fsq_indices_to_codes(indices, levels: tuple[int, ...]):
+    """FSQ.indices_to_codes: flat index -> normalized code vector."""
+    half_w = np.asarray([L // 2 for L in levels], np.float32)
+    digits = []
+    rem = indices
+    for L in levels:
+        digits.append(rem % L)
+        rem = rem // L
+    d = jnp.stack(digits, axis=-1).astype(jnp.float32)
+    return (d - half_w) / half_w
 
 
 # ---------------------------------------------------------------------------

@@ -80,7 +80,7 @@ def _flash_kernel(count_ref,     # SMEM (nq,) int32: visible kv-block count
     bh = pl.program_id(0)
     qi = pl.program_id(1)
     nkb = count_ref[qi]
-    q = q_ref[0].astype(jnp.float32) * scale          # (bq, D)
+    q = q_ref[0]                                       # (bq, D), input dtype
     m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
     a0 = jnp.zeros((block_q, q.shape[-1]), jnp.float32)
@@ -115,11 +115,12 @@ def _flash_kernel(count_ref,     # SMEM (nq,) int32: visible kv-block count
         dma_k(slot, j).wait()
         dma_v(slot, j).wait()
         kj = order_ref[qi, j]
-        k = k_buf[slot].astype(jnp.float32)            # (D, bkv)
-        v = v_buf[slot].astype(jnp.float32)            # (D, bkv)
+        k = k_buf[slot]                                # (D, bkv), bf16
+        v = v_buf[slot]                                # (D, bkv), bf16
+        # bf16 x bf16 -> f32 accumulation: keep the MXU at full rate
         s = jax.lax.dot_general(
             q, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (bq, bkv)
+            preferred_element_type=jnp.float32) * scale  # (bq, bkv) f32
         keep = None
         if mask_fn is not None:
             rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
@@ -188,7 +189,7 @@ def _flash_call(q, k, v, count, order, kind, *, mask_fn, scale, block_q,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel")),
         cost_estimate=pl.CostEstimate(
             flops=4 * BH * Sq * Skv * D,
             bytes_accessed=2 * BH * (Sq + 2 * Skv) * D * q.dtype.itemsize,
@@ -198,7 +199,7 @@ def _flash_call(q, k, v, count, order, kind, *, mask_fn, scale, block_q,
 
 
 def flash_attention(q, k, v, *, mask_fn=None, scale=None,
-                    block_q: int = 256, block_kv: int = 512,
+                    block_q: int = 512, block_kv: int = 1024,
                     interpret: bool | None = None):
     """Flash attention with optional structured mask.
 

@@ -180,6 +180,97 @@ def decode_cp_local(params, z0, zr, cfg: VAEConfig, axis: str,
     return h0, hr
 
 
+def _gn_plain_cp(p, x0, xr, axis: str):
+    return group_norm_cp(p["norm_w"], p["norm_b"], x0, xr, axis)
+
+
+def resblock_plain_cp(p, x0, xr, axis: str):
+    """Encoder resblock (plain GroupNorm, no zq)."""
+    h0, hr = _gn_plain_cp(p["norm1"], x0, xr, axis)
+    h0, hr = causal_conv_cp(p["conv1"], _swish(h0), _swish(hr), axis)
+    h0, hr = _gn_plain_cp(p["norm2"], h0, hr, axis)
+    h0, hr = causal_conv_cp(p["conv2"], _swish(h0), _swish(hr), axis)
+    if "nin_w" in p:
+        nin = lambda v: jnp.einsum("bthwc,cd->bthwd", v,
+                                   p["nin_w"].astype(v.dtype)) \
+            + p["nin_b"].astype(v.dtype)
+        x0, xr = nin(x0), nin(xr)
+    return x0 + h0, xr + hr
+
+
+def _downsample_cp(p, x0, xr, compress_time: bool):
+    B = xr.shape[0]
+    if compress_time:
+        # rest frames avg-pooled in pairs (local: shard sizes stay even);
+        # the global-odd-T first frame is x0, kept as-is (DownSample3D
+        # :654-663 first-frame split)
+        xr = 0.5 * (xr[:, 0::2] + xr[:, 1::2])
+
+    def conv2d(v):
+        t = v.shape[1]
+        vf = v.reshape(B * t, *v.shape[2:])
+        out = jax.lax.conv_general_dilated(
+            vf, p["conv_w"].astype(v.dtype), (2, 2), [(0, 1), (0, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) \
+            + p["conv_b"].astype(v.dtype)
+        return out.reshape(B, t, *out.shape[1:])
+
+    return conv2d(x0), conv2d(xr)
+
+
+def encode_cp_local(params, x0, xr, cfg: VAEConfig, axis: str,
+                    compute_dtype=jnp.bfloat16):
+    """Per-device encoder body (training path; encoder uses plain gathered
+    GroupNorm, ContextParallelEncoder3D cp_enc_dec.py:785-909)."""
+    x0 = x0.astype(compute_dtype)
+    xr = xr.astype(compute_dtype)
+    n_res = len(cfg.ch_mult)
+    h0, hr = causal_conv_cp(params["conv_in"], x0, xr, axis)
+    for i, level in enumerate(params["down"]):
+        for blk in level["blocks"]:
+            h0, hr = resblock_plain_cp(blk, h0, hr, axis)
+        if i != n_res - 1:
+            h0, hr = _downsample_cp(level["down"], h0, hr,
+                                    compress_time=i < cfg.temporal_compress_level)
+    h0, hr = resblock_plain_cp(params["mid1"], h0, hr, axis)
+    h0, hr = resblock_plain_cp(params["mid2"], h0, hr, axis)
+    h0, hr = group_norm_cp(params["norm_out_w"], params["norm_out_b"],
+                           h0, hr, axis)
+    h0, hr = causal_conv_cp(params["conv_out"], _swish(h0), _swish(hr), axis)
+    return h0, hr
+
+
+def encode_temporal_cp(params, x, cfg: VAEConfig, mesh, *,
+                       axis: str = "time", compute_dtype=jnp.bfloat16):
+    """Multi-chip temporal-CP encode. x: (B, 3, T, H, W) in [-1,1].
+    Returns moments (B, 2z, T', H/8, W/8) gathered."""
+    from jax.experimental.shard_map import shard_map
+
+    n = mesh.shape[axis]
+    xt = x.transpose(0, 2, 3, 4, 1)
+    T = xt.shape[1]
+    assert (T - 1) % n == 0, (T, n)
+    c = (T - 1) // n
+    # shards must stay >= 2 frames (conv halo) after every temporal
+    # downsample, and pool pairs must stay shard-local
+    assert c % (2 ** cfg.temporal_compress_level) == 0, c
+    assert c // (2 ** cfg.temporal_compress_level) >= 2, c
+    x0 = xt[:, :1]
+    xr = xt[:, 1:]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(None, axis)),
+        out_specs=(P(), P(None, axis)),
+        check_rep=False)
+    def run(x0, xr):
+        return encode_cp_local(params, x0, xr, cfg, axis, compute_dtype)
+
+    y0, yr = run(x0, xr)
+    out = jnp.concatenate([y0, yr], axis=1)
+    return out.transpose(0, 4, 1, 2, 3)
+
+
 def decode_temporal_cp(params, z, cfg: VAEConfig, mesh, *,
                        axis: str = "time", compute_dtype=jnp.bfloat16):
     """Multi-chip temporal-CP decode. z: (B, zc, T, h, w) NCTHW.

@@ -59,3 +59,65 @@ def test_serving_gif_roundtrip():
     video = np.random.default_rng(0).random((1, 3, 4, 8, 8)).astype(np.float32)
     gif = _video_to_gif_bytes(video)
     assert gif[:6] in (b"GIF87a", b"GIF89a")
+
+
+def test_fsq_roundtrip():
+    from landiff_tpu.models.vq import fsq_indices_to_codes, fsq_quantize
+
+    levels = (8, 5, 5, 5)
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, 7, len(levels))) * 2
+    q, idx = fsq_quantize(z, levels)
+    assert idx.min() >= 0 and int(idx.max()) < np.prod(levels)
+    codes = fsq_indices_to_codes(idx, levels)
+    np.testing.assert_allclose(np.asarray(codes), np.asarray(q),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_control_mlp_adapter():
+    from landiff_tpu.config import tiny_test_config
+    from landiff_tpu.models import dit as dit_lib
+
+    cfg = tiny_test_config().dit
+    params = dit_lib.init_mlp_adapter(jax.random.PRNGKey(0), cfg)
+    x = jnp.zeros((1, cfg.latent_frames, cfg.in_channels,
+                   cfg.latent_height, cfg.latent_width))
+    ctx = jnp.zeros((1, cfg.text_length, cfg.text_dim))
+    outs = dit_lib.control_mlp_adapter_forward(params, x, ctx, cfg,
+                                               compute_dtype=jnp.float32)
+    assert len(outs) == cfg.control_layers
+    # zero-init taps -> all outputs zero
+    np.testing.assert_allclose(np.asarray(outs[0]), 0.0, atol=0)
+
+
+def test_training_checkpoint_roundtrip(tmp_path):
+    import optax
+
+    from landiff_tpu.training.checkpoint import restore_checkpoint, \
+        save_checkpoint
+
+    params = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.zeros(3)}
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    save_checkpoint(tmp_path / "ck", 3, params, opt_state)
+    step, restored = restore_checkpoint(
+        tmp_path / "ck", template={"params": params,
+                                   "opt_state": opt_state})
+    assert step == 3
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.asarray(params["w"]))
+
+
+def test_vpode_sampler_recovers_target():
+    from landiff_tpu.config import SamplerConfig
+    from landiff_tpu.diffusion import samplers
+
+    target = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 3, 4, 4))
+
+    def denoise_fn(x, step):
+        return jnp.broadcast_to(target, x.shape)
+
+    out = samplers.vpode_dpmpp2m_sample(
+        denoise_fn, jax.random.normal(jax.random.PRNGKey(1), target.shape),
+        SamplerConfig(num_steps=8))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(target),
+                               rtol=1e-5, atol=1e-5)

@@ -34,3 +34,20 @@ def test_cp_decode_matches_single_device(n_dev):
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_cp_encode_matches_single_device():
+    n_dev = 2
+    if len(jax.devices()) < n_dev:
+        pytest.skip("needs virtual device mesh")
+    params = vae.init(jax.random.PRNGKey(0), CFG)
+    # T = 1 + c*n with c=4 (>= 2 frames after 1 temporal downsample)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 9, 16, 16))
+    want = vae.encode(params["encoder"], x, CFG, compute_dtype=jnp.float32)
+    mesh = mesh_lib.make_mesh(MeshConfig(data=1, model=1, time=n_dev),
+                              jax.devices()[:n_dev])
+    got = vae_cp.encode_temporal_cp(params["encoder"], x, CFG, mesh,
+                                    compute_dtype=jnp.float32)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
