@@ -61,6 +61,45 @@ def zero_snr_sigmas(cfg: SamplerConfig, n: int | None = None,
     return flipped
 
 
+def legacy_ddpm_sigmas(cfg: SamplerConfig, n: int | None = None):
+    """LegacyDDPMDiscretization (discretizer.py:50-78): EDM-style sigmas
+    sqrt((1-acp)/acp), flipped descending."""
+    if n is None:
+        n = cfg.num_steps
+    betas = make_beta_schedule_linear(cfg.num_train_timesteps,
+                                      cfg.linear_start, cfg.linear_end)
+    acp = np.cumprod(1.0 - betas)
+    if n < cfg.num_train_timesteps:
+        acp = acp[equally_spaced_steps(n, cfg.num_train_timesteps)]
+    return np.sqrt((1 - acp) / acp)[::-1].copy()
+
+
+def edm_sigmas(n: int, sigma_min: float = 0.002, sigma_max: float = 80.0,
+               rho: float = 7.0):
+    """EDMDiscretization (discretizer.py:36-47)."""
+    ramp = np.linspace(0, 1, n)
+    lo, hi = sigma_min ** (1 / rho), sigma_max ** (1 / rho)
+    return (hi + ramp * (lo - hi)) ** rho
+
+
+def vanilla_cfg_scale(scale: float, timestep=None) -> float:
+    """VanillaCFG: constant scale (guiders.py:24-56)."""
+    return scale
+
+
+def eps_scaling(sigma: np.ndarray):
+    """EpsScaling (denoiser_scaling.py:30-39): (c_skip, c_out, c_in,
+    c_noise)."""
+    return (np.ones_like(sigma), -sigma, 1.0 / np.sqrt(sigma ** 2 + 1.0),
+            sigma)
+
+
+def v_scaling(sigma: np.ndarray):
+    """VScaling (denoiser_scaling.py:42-50)."""
+    return (1.0 / (sigma ** 2 + 1.0), -sigma / np.sqrt(sigma ** 2 + 1.0),
+            1.0 / np.sqrt(sigma ** 2 + 1.0), sigma)
+
+
 def video_scaling(alpha_cumprod_sqrt: np.ndarray):
     """VideoScaling (v-pred in alpha-sqrt form, denoiser_scaling.py:62-70):
     returns (c_skip, c_out, c_in). c_noise is the timestep idx, handled by

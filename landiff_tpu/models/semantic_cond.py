@@ -105,6 +105,53 @@ def semantic_feature_from_tokens(params, indices, tok_cfg: TokenizerConfig,
     return x.reshape(B, T, h2, w2, c2).transpose(0, 1, 4, 2, 3)
 
 
+def pad_to_square(x, pad_value):
+    """Pad (..., H, W, C) NHWC frames square: taller -> pad LEFT columns,
+    wider -> pad BOTTOM rows (condition.py:15-27 torchvision pad order)."""
+    h, w = x.shape[-3], x.shape[-2]
+    if h == w:
+        return x
+    widths = [(0, 0)] * x.ndim
+    if h > w:
+        widths[-2] = (h - w, 0)
+    else:
+        widths[-3] = (0, w - h)
+    return jnp.pad(x, widths, constant_values=pad_value)
+
+
+def semantic_feature_from_video(params, video, tok_cfg: TokenizerConfig,
+                                cfg: SemanticCondConfig, *,
+                                downsample_factor: int = 16,
+                                compute_dtype=jnp.bfloat16,
+                                theia_params=None):
+    """SemanticCond visual/training path (condition.py:86-110): video in
+    [-1,1] (B,T,3,H,W) -> [0,255] uint8 -> pad square -> full VQ
+    encode->decode round trip -> crop to H/16 x W/16 -> upsample -> conv_out.
+    Requires theia params (frozen, from HF)."""
+    v = jnp.clip((video + 1.0) / 2.0, 0.0, 1.0)
+    v = jnp.round(v * 255.0).astype(jnp.uint8)
+    v = v.transpose(0, 1, 3, 4, 2)                   # (B,T,H,W,3)
+    origin_h, origin_w = v.shape[2], v.shape[3]
+    target_h = origin_h // downsample_factor
+    target_w = origin_w // downsample_factor
+    v = pad_to_square(v, 127)
+    vq_params = dict(params["vq"])
+    if theia_params is not None:
+        vq_params["theia"] = theia_params
+    _, idx = vq_lib.encode_to_index(vq_params, v, tok_cfg,
+                                    compute_dtype=compute_dtype)
+    feats = vq_lib.index_to_feature(vq_params, idx, tok_cfg,
+                                    forward_t=v.shape[1],
+                                    compute_dtype=compute_dtype)
+    feats = feats[:, :, :target_h, :target_w]        # crop (condition.py:103)
+    B, T, gh, gw, C = feats.shape
+    x = feats.astype(compute_dtype).reshape(B * T, gh, gw, C)
+    x = upsampler_forward(params["upsampler"], x, cfg)
+    x = _conv(params, "conv_out", x)
+    _, h2, w2, c2 = x.shape
+    return x.reshape(B, T, h2, w2, c2).transpose(0, 1, 4, 2, 3)
+
+
 # ---------------------------------------------------------------------------
 # init
 

@@ -78,13 +78,12 @@ def save_video_tensor(video, video_path: str, fps: int = 8) -> Path:
                 for image in images:
                     writer.append_data(image)
         return path
-    except Exception as e:  # no ffmpeg plugin
-        logger.warning("mp4 writer unavailable (%s); writing GIF", e)
+    except Exception as e:  # no ffmpeg plugin: pure-python MJPEG-AVI muxer
+        from landiff_tpu.video_io import write_mjpeg_avi
+
+        logger.warning("mp4 writer unavailable (%s); writing MJPEG AVI", e)
         path.unlink(missing_ok=True)
-        gif = path.with_suffix(".gif")
-        imageio.mimsave(gif, list(images), format="GIF",
-                        duration=1000.0 / fps)
-        return gif
+        return write_mjpeg_avi(images, path.with_suffix(".avi"), fps)
 
 
 def count_params(params) -> int:

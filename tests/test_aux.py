@@ -121,3 +121,53 @@ def test_vpode_sampler_recovers_target():
         SamplerConfig(num_steps=8))
     np.testing.assert_allclose(np.asarray(out), np.asarray(target),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_mjpeg_avi_writer(tmp_path):
+    from landiff_tpu.video_io import write_mjpeg_avi
+
+    frames = [np.random.default_rng(i).integers(0, 255, (32, 48, 3),
+                                                dtype=np.uint8)
+              for i in range(5)]
+    path = write_mjpeg_avi(frames, tmp_path / "v.avi", fps=8)
+    data = path.read_bytes()
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    # parse the movi chunks and decode the first JPEG frame
+    import io
+    import struct
+
+    from PIL import Image
+
+    pos = data.find(b"movi")
+    assert pos > 0
+    assert data[pos + 4:pos + 8] == b"00dc"
+    size = struct.unpack("<I", data[pos + 8:pos + 12])[0]
+    jpeg = data[pos + 12:pos + 12 + size]
+    img = np.asarray(Image.open(io.BytesIO(jpeg)))
+    assert img.shape == (32, 48, 3)
+    assert data.count(b"00dc") >= 10  # 5 movi chunks + 5 index entries
+
+
+def test_zero_opt_state_sharding():
+    import optax
+
+    from landiff_tpu.config import MeshConfig
+    from landiff_tpu.parallel import mesh as mesh_lib
+    from landiff_tpu.training.zero import opt_state_bytes_per_device, \
+        zero_shard_opt_state
+
+    if len(jax.devices()) < 4:
+        import pytest
+
+        pytest.skip("needs virtual mesh")
+    mesh = mesh_lib.make_mesh(MeshConfig(data=4), jax.devices()[:4])
+    params = {"w": jnp.ones((1024, 512)), "b": jnp.ones((8,))}
+    opt = optax.adam(1e-3)
+    state = opt.init(params)
+    sharded, shardings = zero_shard_opt_state(state, mesh, min_size=1024)
+    leaves = jax.tree_util.tree_leaves(sharded)
+    big = [x for x in leaves if x.size >= 1024]
+    assert big and all(not s.is_fully_replicated
+                       for s in [x.sharding for x in big])
+    per_dev, total = opt_state_bytes_per_device(state, mesh)
+    assert per_dev < total

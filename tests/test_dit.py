@@ -154,3 +154,29 @@ def test_semantic_cond_zero_init():
     assert out.shape == (1, t.temporal_size, full.semantic_cond.out_channels,
                          2 * t.grid_h, 2 * t.grid_w)
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=0)
+
+
+def test_semantic_cond_visual_path():
+    """Training path: video -> pad square -> VQ round trip -> crop ->
+    upsample -> zero conv_out (zero at init)."""
+    import jax
+
+    from landiff_tpu.models import semantic_cond as sc
+    from landiff_tpu.models import theia as theia_lib
+
+    full = tiny_test_config()
+    tok = full.tokenizer
+    params = sc.init(jax.random.PRNGKey(0), tok, full.semantic_cond)
+    theia_params = theia_lib.init(jax.random.PRNGKey(1), tok.theia)
+    T = tok.titok.temporal_size
+    P = tok.theia.patch_size
+    H = tok.titok.grid_h * P * 2      # taller than wide after /16? keep int
+    W = tok.titok.grid_w * P * 2
+    video = jax.random.uniform(jax.random.PRNGKey(2), (1, T, 3, H, W),
+                               minval=-1, maxval=1)
+    out = sc.semantic_feature_from_video(
+        params, video, tok, full.semantic_cond, downsample_factor=2 * P,
+        compute_dtype=jnp.float32, theia_params=theia_params)
+    assert out.shape[:2] == (1, T)
+    assert out.shape[2] == full.semantic_cond.out_channels
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=0)  # zero conv_out
