@@ -1,109 +1,159 @@
-"""End-to-end full-size benchmark on one chip: T5 encode -> 1,244-step AR
-decode -> 50-step ControlNet DiT diffusion -> streaming VAE decode.
-Random-init weights (no ckpts in this environment) — measures the complete
-compute path at production shapes (BASELINE config #4 geometry).
+"""End-to-end full-size benchmark: T5 encode -> 1,244-step AR decode ->
+50-step ControlNet DiT diffusion -> streaming VAE decode, at production
+shapes (BASELINE config #4 geometry), random-init weights.
 
-Stages are built/freed sequentially to fit one 16GB chip (the reference
-swaps models CPU<->GPU for the same reason, infer_video.py:83-85)."""
+Each phase runs in its OWN process (driver mode) so the 16GB chip is clean
+between the big models — the reference swaps models CPU<->GPU for the same
+reason (infer_video.py:83-85). Intermediate tensors hand off via /tmp npy.
 
-import gc
+Usage: python benchmarks/bench_e2e.py            # driver (all phases)
+       LANDIFF_E2E_PHASE=stage1 python ...        # single phase
+"""
+
 import json
 import os
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-jax.config.update("jax_compilation_cache_dir", "/tmp/landiff_jax_cache")
-
-from landiff_tpu.config import ARSampleConfig, LanDiffConfig
-from landiff_tpu.diffusion import engine
-from landiff_tpu.models import dit as dit_lib
-from landiff_tpu.models import lm as lm_lib
-from landiff_tpu.models import semantic_cond as sc_lib
-from landiff_tpu.models import t5 as t5_lib
-from landiff_tpu.models import vae as vae_lib
+WORK = "/tmp/landiff_e2e"
 
 
-def sync(x):
-    return float(np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0])
+def _phase_t5():
+    import jax, jax.numpy as jnp, numpy as np
+    jax.config.update("jax_compilation_cache_dir", "/tmp/landiff_jax_cache")
+    from landiff_tpu.config import LanDiffConfig
+    from landiff_tpu.models import t5 as t5_lib
 
-
-def main():
     cfg = LanDiffConfig()
     dt = jnp.bfloat16
-    num_steps = int(os.environ.get("LANDIFF_E2E_STEPS", "50"))
-    import dataclasses
-
-    cfg = dataclasses.replace(cfg, sampler=dataclasses.replace(
-        cfg.sampler, num_steps=num_steps))
-    timings = {}
-
-    # ---- T5 text encode (both stages use a T5-XXL encode; ~identical cost)
-    t0 = time.time()
     t5p = t5_lib.init(jax.random.PRNGKey(0), cfg.t5, dtype=dt)
     ids = jnp.zeros((1, cfg.dit.text_length), jnp.int32)
+    # warm
     ctx = t5_lib.encode(t5p, ids, None, cfg.t5, compute_dtype=dt)
-    sync(ctx)
-    timings["t5_encode_s"] = time.time() - t0
-    ctx = jnp.asarray(np.asarray(ctx, np.float32))  # keep, free params
-    del t5p
-    gc.collect()
-
-    # ---- stage 1: constrained AR decode (CFG rows=2)
+    np.asarray(ctx)
     t0 = time.time()
+    ctx = t5_lib.encode(t5p, ids, None, cfg.t5, compute_dtype=dt)
+    ctx_np = np.asarray(ctx, dtype=np.float32)
+    dt_s = time.time() - t0
+    np.save(f"{WORK}/ctx.npy", ctx_np)
+    print(json.dumps({"phase": "t5", "seconds": dt_s}))
+
+
+def _phase_stage1():
+    import jax, jax.numpy as jnp, numpy as np
+    jax.config.update("jax_compilation_cache_dir", "/tmp/landiff_jax_cache")
+    from landiff_tpu.config import ARSampleConfig, LanDiffConfig
+    from landiff_tpu.models import lm as lm_lib
+
+    cfg = LanDiffConfig()
+    dt = jnp.bfloat16
     lmp = lm_lib.init(jax.random.PRNGKey(1), cfg.llm, t5_dim=cfg.t5.d_model,
                       dtype=dt)
     prefix_len = 1 + 2 + 120 + 1
     sched = lm_lib.build_schedule(cfg.llm, prefix_len, 13)
     rows = jnp.zeros((2, prefix_len, cfg.llm.hidden_size), dt)
-    codes = lm_lib.sample(lmp, cfg.llm, sched, rows,
-                          ARSampleConfig(cfg_scale=7.5),
+    scfg = ARSampleConfig(cfg_scale=7.5)
+    codes = lm_lib.sample(lmp, cfg.llm, sched, rows, scfg,
                           rng_key=jax.random.PRNGKey(2), compute_dtype=dt,
-                          cache_dtype=dt)
-    timings["stage1_s"] = time.time() - t0
-    del lmp
-    gc.collect()
-
-    # ---- stage 2: semantic cond + 50-step diffusion
+                          cache_dtype=dt)  # warm/compile
     t0 = time.time()
+    codes = lm_lib.sample(lmp, cfg.llm, sched, rows, scfg,
+                          rng_key=jax.random.PRNGKey(3), compute_dtype=dt,
+                          cache_dtype=dt)
+    dt_s = time.time() - t0
+    np.save(f"{WORK}/codes.npy", np.asarray(codes))
+    print(json.dumps({"phase": "stage1", "seconds": dt_s,
+                      "steps": int(sched.full_len - sched.prefix_len)}))
+
+
+def _phase_diffusion():
+    import jax, jax.numpy as jnp, numpy as np
+    jax.config.update("jax_compilation_cache_dir", "/tmp/landiff_jax_cache")
+    import dataclasses
+
+    from landiff_tpu.config import LanDiffConfig
+    from landiff_tpu.diffusion import engine
+    from landiff_tpu.models import dit as dit_lib
+    from landiff_tpu.models import semantic_cond as sc_lib
+
+    num_steps = int(os.environ.get("LANDIFF_E2E_STEPS", "50"))
+    cfg = LanDiffConfig()
+    cfg = dataclasses.replace(cfg, sampler=dataclasses.replace(
+        cfg.sampler, num_steps=num_steps))
+    dt = jnp.bfloat16
+    ctx = jnp.asarray(np.load(f"{WORK}/ctx.npy"), dt)
+    codes = jnp.asarray(np.load(f"{WORK}/codes.npy")).reshape(1, -1)
     main_p = dit_lib.init(jax.random.PRNGKey(3), cfg.dit, dtype=dt)
     ctrl_p = dit_lib.init(jax.random.PRNGKey(4), cfg.dit, control=True,
                           dtype=dt)
     sem_p = sc_lib.init(jax.random.PRNGKey(5), cfg.tokenizer,
                         cfg.semantic_cond, dtype=dt)
-    tokens = jnp.asarray(codes).reshape(1, -1)
-    uc = jnp.zeros_like(ctx)
     denoise_fn = engine.make_denoise_fn(
         main_p, ctrl_p, sem_p, cfg.dit, cfg.sampler, cfg.tokenizer,
-        cfg.semantic_cond, ctx.astype(dt), uc.astype(dt), tokens,
+        cfg.semantic_cond, ctx, jnp.zeros_like(ctx), codes,
         compute_dtype=dt, attn_impl="pallas")
+    t0 = time.time()
     latents = engine.sample_latents(denoise_fn, cfg.sampler, cfg.dit,
                                     key=jax.random.PRNGKey(6))
-    sync(latents)
-    timings["stage2_diffusion_s"] = time.time() - t0
-    latents = jnp.asarray(np.asarray(latents))
-    del main_p, ctrl_p, sem_p
-    gc.collect()
+    lat_np = np.asarray(latents)
+    dt_s = time.time() - t0
+    np.save(f"{WORK}/latents.npy", lat_np)
+    print(json.dumps({"phase": "diffusion", "seconds": dt_s,
+                      "steps": num_steps}))
 
-    # ---- VAE streaming decode
-    t0 = time.time()
+
+def _phase_vae():
+    import jax, jax.numpy as jnp, numpy as np
+    jax.config.update("jax_compilation_cache_dir", "/tmp/landiff_jax_cache")
+    from landiff_tpu.config import LanDiffConfig
+    from landiff_tpu.diffusion import engine
+    from landiff_tpu.models import vae as vae_lib
+
+    cfg = LanDiffConfig()
+    dt = jnp.bfloat16
+    latents = jnp.asarray(np.load(f"{WORK}/latents.npy"))
     vaep = vae_lib.init(jax.random.PRNGKey(7), cfg.vae, dtype=dt)
+    t0 = time.time()
     video = engine.decode_first_stage(vaep, latents, cfg.vae,
                                       compute_dtype=dt)
-    sync(video)
-    timings["vae_decode_s"] = time.time() - t0
+    vid_np = np.asarray(video)
+    dt_s = time.time() - t0
+    print(json.dumps({"phase": "vae", "seconds": dt_s,
+                      "video": list(vid_np.shape)}))
 
-    total = sum(timings.values())
+
+PHASES = {"t5": _phase_t5, "stage1": _phase_stage1,
+          "diffusion": _phase_diffusion, "vae": _phase_vae}
+
+
+def main():
+    phase = os.environ.get("LANDIFF_E2E_PHASE")
+    if phase:
+        PHASES[phase]()
+        return
+    os.makedirs(WORK, exist_ok=True)
+    results = {}
+    for name in ("t5", "stage1", "diffusion", "vae"):
+        env = dict(os.environ, LANDIFF_E2E_PHASE=name)
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True)
+        line = [l for l in out.stdout.splitlines()
+                if l.startswith("{")][-1] if "{" in out.stdout else None
+        if line is None:
+            print(f"# phase {name} FAILED:\n{out.stdout[-800:]}\n"
+                  f"{out.stderr[-800:]}", file=sys.stderr)
+            sys.exit(1)
+        rec = json.loads(line)
+        results[name] = rec["seconds"]
+        print("#", line)
+    total = sum(results.values())
     print(json.dumps({
         "metric": "e2e_sec_per_video_49f_480p",
         "value": round(total, 2),
         "unit": "s",
         "vs_baseline": None,
     }))
-    print("#", json.dumps({k: round(v, 2) for k, v in timings.items()}),
-          "video", list(video.shape), f"steps={num_steps}")
 
 
 if __name__ == "__main__":

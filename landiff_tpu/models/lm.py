@@ -105,16 +105,27 @@ class SampleSchedule:
         return int(self.visual.sum())
 
 
+def gt_first_frame_prefix_len(cfg: LLMConfig, soi_index: int) -> int:
+    """Prompt length when the ground-truth first I-frame is given
+    (use_gt_first_frame, lm_model.py:337-343): prompt extends through
+    [SOI][330 gt I][EOI][SOP]."""
+    return soi_index + cfg.iframe_len + 2 + 1
+
+
 def build_schedule(cfg: LLMConfig, prefix_len: int, num_frames: int,
-                   segment_length: int | None = None) -> SampleSchedule:
+                   segment_length: int | None = None,
+                   soi_index: int | None = None) -> SampleSchedule:
     """Replicates the index-set construction of lm_model.py:353-396.
 
-    `prefix_len` = index of SOI + 1 (the SOI token is part of the prompt)."""
+    `prefix_len` = first SAMPLED position (index of SOI + 1 normally; deeper
+    when the prompt embeds a ground-truth I-frame — pass `soi_index`
+    explicitly then)."""
     vocab = Vocab(cfg.codebook_size)
     seg_len = segment_length or cfg.frames_per_segment
     p_num = seg_len - 1
     i_len, p_len = cfg.iframe_len, cfg.pframe_len
-    start_of_iframe_index = prefix_len - 1
+    start_of_iframe_index = (prefix_len - 1 if soi_index is None
+                             else soi_index)
 
     full_len = start_of_iframe_index + video_frames_to_code_len(
         cfg, num_frames, seg_len, seg_len) + 1
@@ -202,6 +213,23 @@ def assemble_prompt(params, cfg: LLMConfig, text_feats, micro_feats,
          text_feats.astype(compute_dtype), soi], axis=0)
 
 
+def assemble_prompt_with_gt_iframe(params, cfg: LLMConfig, text_feats,
+                                   micro_feats, gt_codes,
+                                   compute_dtype=jnp.bfloat16):
+    """use_gt_first_frame prompt (lm_model.py:337-349): the ground-truth
+    first I-frame codes are part of the prompt —
+    [BOS][micro x2][text][SOI][gt I x330][EOI][SOP]. Sampling then starts at
+    the first P token; callers prepend gt_codes to the sampled output."""
+    vocab = Vocab(cfg.codebook_size)
+    base = assemble_prompt(params, cfg, text_feats, micro_feats,
+                           compute_dtype)
+    emb = params["tok_emb"].astype(compute_dtype)
+    gt = emb[jnp.asarray(gt_codes, jnp.int32)]
+    eoi = emb[vocab.END_OF_IFRAME][None]
+    sop = emb[vocab.START_OF_PFRAME][None]
+    return jnp.concatenate([base, gt, eoi, sop], axis=0)
+
+
 # ---------------------------------------------------------------------------
 # Constrained AR sampling
 
@@ -284,8 +312,9 @@ def sample(params, cfg: LLMConfig, schedule: SampleSchedule, prompt_features,
         jnp.asarray(schedule.allow_eos), teacher, rng_key, st,
         predict_eos, compute_dtype, cache_dtype)
     tokens = np.asarray(tokens)
-    keep = schedule.visual & (np.arange(schedule.full_len)
-                              < int(stop_pos))
+    pos = np.arange(schedule.full_len)
+    # visual positions inside the prompt (gt first frame) are not sampled
+    keep = schedule.visual & (pos >= schedule.prefix_len) & (pos < int(stop_pos))
     codes = tokens[keep]
     return np.clip(codes, 0, cfg.codebook_size - 1)
 

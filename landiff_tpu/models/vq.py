@@ -147,6 +147,24 @@ def encode_to_index(params, video, cfg: TokenizerConfig,
                                     use_mean_std)
 
 
+def encode_codes(params, video, cfg: TokenizerConfig, *,
+                 segment_length: int | None = None,
+                 segment_stride: int | None = None,
+                 compute_dtype=jnp.bfloat16):
+    """SemanticFrozenTokenizer.encode_codes (llm/modules/tokenizer.py:90-102):
+    segment the video along time (default 13/13) and encode each segment.
+    Returns flat (B, n_segments * latent_tokens) indices."""
+    seg_len = segment_length or cfg.segment_length
+    seg_stride = segment_stride or cfg.segment_stride
+    T = video.shape[1]
+    outs = []
+    for off in range(0, T, seg_stride):
+        seg = video[:, off:off + seg_len]
+        _, idx = encode_to_index(params, seg, cfg, compute_dtype)
+        outs.append(idx)
+    return jnp.concatenate(outs, axis=1)
+
+
 def index_to_feature(params, indices, cfg: TokenizerConfig, *,
                      forward_t: int | None = None, denormalize: bool = True,
                      compute_dtype=jnp.bfloat16, use_mean_std: bool = False):

@@ -64,7 +64,11 @@ class CogModelInferWrapper:
         return t5_lib.encode(self.params["t5"], jnp.asarray(ids), None,
                              self.cfg.t5, compute_dtype=jnp.float32)
 
-    def __call__(self, task: VideoTask) -> VideoTask:
+    def __call__(self, task: VideoTask,
+                 prefix_video: np.ndarray | None = None) -> VideoTask:
+        """prefix_video: optional (B, 3, T0, H, W) in [0,1] — image2video /
+        continuation: VAE-encoded into prefix latents spliced into the noise
+        each sampler step (diffusion_video.py:287-288, sampling.py:800-817)."""
         cfg = self.cfg
         assert task.semantic_token is not None, "stage-1 codes required"
         tokens = jnp.asarray(task.semantic_token).reshape(1, -1)
@@ -75,13 +79,20 @@ class CogModelInferWrapper:
         context = self.encode_text(task.prompt)
         uc_context = jnp.zeros_like(context)  # force_uc_zero_embeddings
 
+        prefix = None
+        if prefix_video is not None:
+            pv = engine.pre_process_video(jnp.asarray(prefix_video))
+            prefix = engine.encode_first_stage(
+                self.params["vae"], pv, cfg.vae,
+                compute_dtype=self.compute_dtype)
+
         denoise_fn = engine.make_denoise_fn(
             self.params["main"], self.params["control"],
             self.params["semantic"], cfg.dit, cfg.sampler, cfg.tokenizer,
             cfg.semantic_cond, context, uc_context, tokens,
             compute_dtype=self.compute_dtype, attn_impl=self.attn_impl)
         latents = engine.sample_latents(denoise_fn, cfg.sampler, cfg.dit,
-                                        key=key)
+                                        key=key, prefix=prefix)
         video = engine.decode_first_stage(self.params["vae"], latents,
                                           cfg.vae,
                                           compute_dtype=self.compute_dtype)

@@ -184,3 +184,29 @@ def test_predict_eos_early_stop():
     # blocks > 1): count must be first-block visual + whole sub-blocks
     first_block = sched.num_visual // 2
     assert codes.shape[0] >= first_block
+
+
+def test_gt_first_frame_sampling():
+    """use_gt_first_frame: gt I-frame codes live in the prompt; sampling
+    starts at the first P token and yields only non-I visual codes."""
+    params = lm.init(jax.random.PRNGKey(0), CFG, t5_dim=24)
+    micro = lm.micro_cond_features(params, CFG,
+                                   {"frames": 3, "motion_score": 0.1},
+                                   compute_dtype=jnp.float32)
+    text = lm.text_cond_features(params, jnp.ones((4, 24)),
+                                 compute_dtype=jnp.float32)
+    gt_codes = np.arange(CFG.iframe_len) % CFG.codebook_size
+    prompt = lm.assemble_prompt_with_gt_iframe(
+        params, CFG, text, micro, gt_codes, compute_dtype=jnp.float32)[None]
+    soi_index = 1 + 2 + 4  # BOS + micro x2 + text
+    assert prompt.shape[1] == lm.gt_first_frame_prefix_len(CFG, soi_index)
+    sched = lm.build_schedule(CFG, prompt.shape[1], num_frames=3,
+                              soi_index=soi_index)
+    codes = lm.sample(params, CFG, sched, prompt,
+                      ARSampleConfig(cfg_scale=0.0, num_frames=3),
+                      rng_key=jax.random.PRNGKey(1),
+                      compute_dtype=jnp.float32, cache_dtype=jnp.float32)
+    # sampled visual tokens = total visual minus the gt I-frame
+    assert codes.shape[0] == sched.num_visual - CFG.iframe_len
+    full = np.concatenate([gt_codes, codes])
+    assert full.shape[0] == sched.num_visual

@@ -14,6 +14,32 @@ def test_tiny_pipeline_end_to_end(tmp_path):
     assert video.ndim == 5 and video.shape[1] == 3
     assert video.min() >= 0.0 and video.max() <= 1.0
     assert not np.isnan(video).any()
-    # files written (mp4, or gif fallback when ffmpeg is unavailable)
-    assert list(tmp_path.glob("*.mp4")) or list(tmp_path.glob("*.gif"))
+    # files written (mp4, or MJPEG-AVI fallback when ffmpeg is unavailable)
+    assert (list(tmp_path.glob("*.mp4")) or list(tmp_path.glob("*.avi"))
+            or list(tmp_path.glob("*.gif")))
     assert list(tmp_path.glob("*_codes.npy"))
+
+
+def test_image2video_prefix(tmp_path):
+    """i2v path: VAE-encoded prefix latents preserved through sampling."""
+    import jax
+    import jax.numpy as jnp
+
+    from landiff_tpu.config import tiny_test_config
+    from landiff_tpu.pipeline import dif_infer
+
+    cfg = tiny_test_config()
+    params = dif_infer.init_params(jax.random.PRNGKey(0), cfg)
+    wrap = dif_infer.CogModelInferWrapper(params, cfg,
+                                          compute_dtype=jnp.float32)
+    t = cfg.tokenizer.titok
+    codes = np.zeros(t.latent_tokens, np.int32)
+    # prefix: 3 RGB frames -> (1 + 2)/2 = 2 latent frames (tiny: 2x temporal)
+    prefix_video = np.random.default_rng(0).random(
+        (1, 3, 3, cfg.dit.latent_height * 2, cfg.dit.latent_width * 2)
+    ).astype(np.float32)
+    task = wrap(dif_infer.VideoTask(save_file_name="x", prompt="p", seed=1,
+                                    semantic_token=codes),
+                prefix_video=prefix_video)
+    assert task.result is not None
+    assert task.latent.shape[1] == cfg.dit.latent_frames
