@@ -51,3 +51,51 @@ def test_cp_encode_matches_single_device():
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_ring_attention_matches_dense():
+    from landiff_tpu.ops import attention as A
+    from landiff_tpu.parallel.ring_attention import ring_attention
+
+    n_dev = 4
+    if len(jax.devices()) < n_dev:
+        pytest.skip("needs virtual mesh")
+    mesh = mesh_lib.make_mesh(MeshConfig(data=1, model=1, time=n_dev),
+                              jax.devices()[:n_dev])
+    B, S, H, D = 2, 32, 3, 8
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, S, H, D))
+    k = jax.random.normal(ks[1], (B, S, H, D))
+    v = jax.random.normal(ks[2], (B, S, H, D))
+    want = A.mha_reference(q, k, v)
+    got = ring_attention(q, k, v, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_tp_sharded_dit_matches_replicated():
+    """DiT forward with TP-sharded params (GSPMD) must equal unsharded."""
+    from landiff_tpu.config import tiny_test_config
+    from landiff_tpu.models import dit as dit_lib
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual mesh")
+    cfg = tiny_test_config().dit
+    params = dit_lib.init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (1, cfg.latent_frames, cfg.in_channels,
+                           cfg.latent_height, cfg.latent_width))
+    ts = jnp.asarray([999.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(2),
+                            (1, cfg.text_length, cfg.text_dim))
+    want = dit_lib.forward(params, x, ts, ctx, cfg,
+                           compute_dtype=jnp.float32)
+    mesh = mesh_lib.make_mesh(MeshConfig(data=1, model=4, time=1),
+                              jax.devices()[:4])
+    sharded = mesh_lib.shard_params(params, mesh, mesh_lib.DIT_RULES)
+    fn = jax.jit(lambda p, x, ts, ctx: dit_lib.forward(
+        p, x, ts, ctx, cfg, compute_dtype=jnp.float32))
+    with mesh:
+        got = fn(sharded, x, ts, ctx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
