@@ -101,7 +101,12 @@ def _modulate(x, shift, scale):
 
 
 def _layer(p, x, emb, cfg: DiTConfig, attn_impl):
-    """One AdaLN DiT layer over the concat [text|video] sequence."""
+    """One AdaLN DiT layer over the concat [text|video] sequence.
+
+    The reference modulates text/img slices separately and re-concats
+    (dit_video_concat.py:577-588); here the per-token shift/scale/gate are
+    position-selected (text vs video) so every modulation fuses into the
+    neighbouring elementwise op instead of materializing concats."""
     B, S, D = x.shape
     tl = cfg.text_length
     H, Dk = cfg.num_heads, cfg.head_dim
@@ -112,11 +117,14 @@ def _layer(p, x, emb, cfg: DiTConfig, attn_impl):
     (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp,
      t_shift_msa, t_scale_msa, t_gate_msa, t_shift_mlp, t_scale_mlp,
      t_gate_mlp) = jnp.split(mods, 12, axis=-1)
+    is_text = (jnp.arange(S) < tl)[None, :, None]
+
+    def sel(tv, vv):
+        # (B, 1, D) pair -> (B, S, D)-broadcast per-token value
+        return jnp.where(is_text, tv[:, None], vv[:, None])
 
     h = layer_norm(x, p["ln1_w"], p["ln1_b"], 1e-6)
-    h = jnp.concatenate([
-        _modulate(h[:, :tl], t_shift_msa, t_scale_msa),
-        _modulate(h[:, tl:], shift_msa, scale_msa)], axis=1)
+    h = h * (1.0 + sel(t_scale_msa, scale_msa)) + sel(t_shift_msa, shift_msa)
 
     qkv = _linear(p, "qkv", h)
     q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -128,17 +136,13 @@ def _layer(p, x, emb, cfg: DiTConfig, attn_impl):
         k = layer_norm(k, p["k_ln_w"], p["k_ln_b"], 1e-6)
     attn = attention(q, k, v, impl=attn_impl).reshape(B, S, D)
     attn = _linear(p, "attn_out", attn)
-    x = x + jnp.concatenate([t_gate_msa[:, None] * attn[:, :tl],
-                             gate_msa[:, None] * attn[:, tl:]], axis=1)
+    x = x + sel(t_gate_msa, gate_msa) * attn
 
     h = layer_norm(x, p["ln2_w"], p["ln2_b"], 1e-6)
-    h = jnp.concatenate([
-        _modulate(h[:, :tl], t_shift_mlp, t_scale_mlp),
-        _modulate(h[:, tl:], shift_mlp, scale_mlp)], axis=1)
+    h = h * (1.0 + sel(t_scale_mlp, scale_mlp)) + sel(t_shift_mlp, shift_mlp)
     h = jax.nn.gelu(_linear(p, "mlp0", h), approximate=True)
     h = _linear(p, "mlp1", h)
-    x = x + jnp.concatenate([t_gate_mlp[:, None] * h[:, :tl],
-                             gate_mlp[:, None] * h[:, tl:]], axis=1)
+    x = x + sel(t_gate_mlp, gate_mlp) * h
     return x
 
 
