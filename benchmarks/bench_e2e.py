@@ -93,9 +93,11 @@ def _phase_diffusion():
         main_p, ctrl_p, sem_p, cfg.dit, cfg.sampler, cfg.tokenizer,
         cfg.semantic_cond, ctx, jnp.zeros_like(ctx), codes,
         compute_dtype=dt, attn_impl="pallas")
+    chunk = int(os.environ.get("LANDIFF_E2E_CHUNK", "5"))
     t0 = time.time()
     latents = engine.sample_latents(denoise_fn, cfg.sampler, cfg.dit,
-                                    key=jax.random.PRNGKey(6))
+                                    key=jax.random.PRNGKey(6),
+                                    max_steps_per_call=chunk)
     lat_np = np.asarray(latents)
     dt_s = time.time() - t0
     np.save(f"{WORK}/latents.npy", lat_np)

@@ -89,7 +89,8 @@ def make_denoise_fn(main_params, control_params, sem_params, dit_cfg: DiTConfig,
 
 
 def sample_latents(denoise_fn, sampler_cfg: SamplerConfig, dit_cfg: DiTConfig,
-                   *, key, batch_size=1, prefix=None, sdedit=False):
+                   *, key, batch_size=1, prefix=None, sdedit=False,
+                   max_steps_per_call: int | None = None):
     """Engine.sample (diffusion_video.py:255-315): randn latents (optionally
     prefix-spliced) -> DPM++2M loop. Returns (B, T, C, H, W) fp32."""
     k_noise, k_samp = jax.random.split(key)
@@ -102,7 +103,8 @@ def sample_latents(denoise_fn, sampler_cfg: SamplerConfig, dit_cfg: DiTConfig,
         x = jnp.concatenate([prefix.astype(jnp.float32), x[:, fixed:]], axis=1)
     return samplers.vpsde_dpmpp2m_sample(denoise_fn, x, sampler_cfg,
                                          key=k_samp, fixed_frames=fixed,
-                                         sdedit=sdedit)
+                                         sdedit=sdedit,
+                                         max_steps_per_call=max_steps_per_call)
 
 
 def decode_first_stage(vae_params, latents, vae_cfg: VAEConfig, *,

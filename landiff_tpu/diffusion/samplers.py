@@ -63,12 +63,16 @@ def vpsde_dpmpp2m_sample(
     key: jax.Array,
     fixed_frames: int = 0,
     sdedit: bool = False,
+    max_steps_per_call: int | None = None,
 ) -> jax.Array:
     """DPM-Solver++(2M) SDE in VP parameterization.
 
     Args:
       x: (B, T, C, H, W) — initial noise; if fixed_frames > 0, x[:, :f] are
         the clean prefix latents (spliced back every step).
+      max_steps_per_call: run the scan in chunks of at most this many steps
+        per device execution (remote-attached runtimes can kill very long
+        single executions); None = one scan.
     """
     _, c = _per_step_arrays(cfg)
     n = cfg.num_steps
@@ -101,8 +105,20 @@ def vpsde_dpmpp2m_sample(
         x_new = jnp.where(step["is_last"], denoised, x_new)
         return (x_new, denoised, key), None
 
-    (x, _, _), _ = jax.lax.scan(body, (x, jnp.zeros_like(x), key), coeffs,
-                                length=n)
+    carry = (x, jnp.zeros_like(x), key)
+    if max_steps_per_call is None or max_steps_per_call >= n:
+        carry, _ = jax.lax.scan(body, carry, coeffs, length=n)
+    else:
+        k = max_steps_per_call
+        scan_k = jax.jit(lambda carry, sl: jax.lax.scan(body, carry, sl))
+        for s0 in range(0, n, k):
+            m = min(k, n - s0)
+            sl = jax.tree_util.tree_map(lambda a: a[s0:s0 + m], coeffs)
+            if m != k:  # keep one compiled shape: pad then trim via scan len
+                carry, _ = jax.lax.scan(body, carry, sl, length=m)
+            else:
+                carry, _ = scan_k(carry, sl)
+    x = carry[0]
     if prefix is not None:
         x = jnp.concatenate([prefix, x[:, fixed_frames:]], axis=1)
     return x
