@@ -171,3 +171,38 @@ def test_zero_opt_state_sharding():
                        for s in [x.sharding for x in big])
     per_dev, total = opt_state_bytes_per_device(state, mesh)
     assert per_dev < total
+
+
+def test_sharded_dataset_and_prefetch(tmp_path):
+    from landiff_tpu.data.loader import (ShardedNpzDataset,
+                                         prefetch_to_device,
+                                         write_npz_shards)
+
+    n = 25
+    samples = {"x": np.arange(n * 4, dtype=np.float32).reshape(n, 4),
+               "y": np.arange(n, dtype=np.int32)}
+    write_npz_shards(samples, tmp_path / "ds", shard_size=10)
+    # two DP ranks see disjoint data
+    seen = []
+    for rank in range(2):
+        ds = ShardedNpzDataset(tmp_path / "ds", batch_size=4, dp_rank=rank,
+                               dp_size=2, seed=1)
+        ys = [b["y"] for b in prefetch_to_device(ds.iter_epoch(0))]
+        assert all(b.shape[0] == 4 for b in ys)
+        seen.append(np.concatenate([np.asarray(b) for b in ys]))
+    assert not set(seen[0].tolist()) & set(seen[1].tolist())
+    # deterministic given (seed, epoch)
+    ds = ShardedNpzDataset(tmp_path / "ds", batch_size=4, seed=3)
+    a = [np.asarray(b["y"]) for b in ds.iter_epoch(1)]
+    b = [np.asarray(b["y"]) for b in ds.iter_epoch(1)]
+    np.testing.assert_array_equal(np.concatenate(a), np.concatenate(b))
+
+
+def test_eval_log_video(tmp_path):
+    from landiff_tpu.training.eval_log import log_video
+
+    video = np.random.default_rng(0).random((2, 3, 5, 8, 8)).astype(np.float32)
+    png = log_video(video, ["a", "b"], tmp_path, step=7,
+                    metrics={"loss": jnp.asarray(0.5)})
+    assert png.exists()
+    assert (tmp_path / "step_00000007.json").exists()
