@@ -89,14 +89,14 @@ def _phase_diffusion():
                           dtype=dt)
     sem_p = sc_lib.init(jax.random.PRNGKey(5), cfg.tokenizer,
                         cfg.semantic_cond, dtype=dt)
-    denoise_fn = engine.make_denoise_fn(
+    denoise_fn, bundle = engine.make_denoise_fn(
         main_p, ctrl_p, sem_p, cfg.dit, cfg.sampler, cfg.tokenizer,
         cfg.semantic_cond, ctx, jnp.zeros_like(ctx), codes,
         compute_dtype=dt, attn_impl="pallas")
     chunk = int(os.environ.get("LANDIFF_E2E_CHUNK", "5"))
     t0 = time.time()
     latents = engine.sample_latents(denoise_fn, cfg.sampler, cfg.dit,
-                                    key=jax.random.PRNGKey(6),
+                                    key=jax.random.PRNGKey(6), bundle=bundle,
                                     max_steps_per_call=chunk)
     lat_np = np.asarray(latents)
     dt_s = time.time() - t0

@@ -46,53 +46,60 @@ def make_denoise_fn(main_params, control_params, sem_params, dit_cfg: DiTConfig,
     """Build the per-step denoise function for the sampler.
 
     context / uc_context: (B, 226, 4096). semantic_tokens: (B, L) or None.
-    Returns denoise_fn(x, step) -> fp32 v-parameterized x0 prediction after
-    DynamicCFG combination.
+    Returns (denoise_fn, bundle): denoise_fn(x, step, bundle) -> fp32
+    v-parameterized x0 prediction after DynamicCFG combination. The bundle
+    carries params/conditioning as EXPLICIT pytree arguments so the sampler
+    jits with them as inputs, not multi-GB captured constants.
     """
-    q_alpha = jnp.asarray(denoiser_quantized_alphas(sampler_cfg), jnp.float32)
-
+    bundle = {
+        "q_alpha": jnp.asarray(denoiser_quantized_alphas(sampler_cfg),
+                               jnp.float32),
+        "alpha_table": jnp.asarray(
+            schedule.sampler_tables(sampler_cfg)["alpha"], jnp.float32),
+        "main": main_params,
+        "ctx2": jnp.concatenate([uc_context, context], axis=0),  # [uc, c]
+    }
     if semantic_tokens is not None:
-        sem_feature = sc_lib.semantic_feature_from_tokens(
+        # computed ONCE, reused every step (the reference's
+        # InferValueRegistry caching, dit_video_concat.py:939-982)
+        bundle["sem_feature"] = sc_lib.semantic_feature_from_tokens(
             sem_params, semantic_tokens, tok_cfg, sem_cfg,
             forward_t=dit_cfg.latent_frames, compute_dtype=compute_dtype)
-    else:
-        sem_feature = None
+        bundle["control"] = control_params
 
-    ctx2 = jnp.concatenate([uc_context, context], axis=0)  # [uc, c]
-
-    def denoise_fn(x, step):
+    def denoise_fn(x, step, b):
         B = x.shape[0]
-        # quantize sigma to the 1000-table (step carries the sampler index
-        # implicitly via alpha; use nearest lookup for jit-safety)
-        alpha = q_alpha[jnp.argmin(jnp.abs(step["alpha"]
-                                           - jnp.asarray(
-            schedule.sampler_tables(sampler_cfg)["alpha"], jnp.float32)))]
+        # DiscreteDenoiser sigma quantization: nearest 1000-table entry
+        alpha = b["q_alpha"][jnp.argmin(jnp.abs(step["alpha"]
+                                                - b["alpha_table"]))]
         c_skip = alpha
         c_out = -jnp.sqrt(1.0 - alpha ** 2)
         x2 = jnp.concatenate([x, x], axis=0)
         ts = jnp.full((2 * B,), step["timestep"], jnp.float32)
-        if sem_feature is not None:
-            sem2 = jnp.concatenate([sem_feature] * 2, axis=0)
+        if "sem_feature" in b:
+            sem2 = jnp.concatenate([b["sem_feature"]] * 2, axis=0)
             net_out = dit_lib.control_warp_forward(
-                main_params, control_params, x2.astype(compute_dtype), ts,
-                ctx2, dit_cfg, sem2, attn_impl=attn_impl,
+                b["main"], b["control"], x2.astype(compute_dtype), ts,
+                b["ctx2"], dit_cfg, sem2, attn_impl=attn_impl,
                 compute_dtype=compute_dtype)
         else:
             net_out = dit_lib.forward(
-                main_params, x2.astype(compute_dtype), ts, ctx2, dit_cfg,
+                b["main"], x2.astype(compute_dtype), ts, b["ctx2"], dit_cfg,
                 attn_impl=attn_impl, compute_dtype=compute_dtype)
-        denoised = net_out.astype(jnp.float32) * c_out + x2.astype(jnp.float32) * c_skip
+        denoised = net_out.astype(jnp.float32) * c_out \
+            + x2.astype(jnp.float32) * c_skip
         x_u, x_c = denoised[:B], denoised[B:]
         return x_u + step["cfg_scale"] * (x_c - x_u)
 
-    return denoise_fn
+    return denoise_fn, bundle
 
 
 def sample_latents(denoise_fn, sampler_cfg: SamplerConfig, dit_cfg: DiTConfig,
-                   *, key, batch_size=1, prefix=None, sdedit=False,
-                   max_steps_per_call: int | None = None):
+                   *, key, bundle=None, batch_size=1, prefix=None,
+                   sdedit=False, max_steps_per_call: int | None = None):
     """Engine.sample (diffusion_video.py:255-315): randn latents (optionally
-    prefix-spliced) -> DPM++2M loop. Returns (B, T, C, H, W) fp32."""
+    prefix-spliced) -> DPM++2M loop. Returns (B, T, C, H, W) fp32.
+    `bundle` is the params pytree from make_denoise_fn."""
     k_noise, k_samp = jax.random.split(key)
     shape = (batch_size, dit_cfg.latent_frames, dit_cfg.in_channels,
              dit_cfg.latent_height, dit_cfg.latent_width)
@@ -103,7 +110,7 @@ def sample_latents(denoise_fn, sampler_cfg: SamplerConfig, dit_cfg: DiTConfig,
         x = jnp.concatenate([prefix.astype(jnp.float32), x[:, fixed:]], axis=1)
     return samplers.vpsde_dpmpp2m_sample(denoise_fn, x, sampler_cfg,
                                          key=k_samp, fixed_frames=fixed,
-                                         sdedit=sdedit,
+                                         sdedit=sdedit, params=bundle,
                                          max_steps_per_call=max_steps_per_call)
 
 

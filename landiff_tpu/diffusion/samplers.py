@@ -17,6 +17,7 @@ DiscreteDenoiser wrapping (denoiser.py:25-77).
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
@@ -64,6 +65,7 @@ def vpsde_dpmpp2m_sample(
     fixed_frames: int = 0,
     sdedit: bool = False,
     max_steps_per_call: int | None = None,
+    params=None,
 ) -> jax.Array:
     """DPM-Solver++(2M) SDE in VP parameterization.
 
@@ -73,6 +75,9 @@ def vpsde_dpmpp2m_sample(
       max_steps_per_call: run the scan in chunks of at most this many steps
         per device execution (remote-attached runtimes can kill very long
         single executions); None = one scan.
+      params: optional pytree passed through to denoise_fn(x, step, params)
+        as an explicit jit argument — REQUIRED for big models so weights
+        enter the compiled step as inputs, not multi-GB captured constants.
     """
     _, c = _per_step_arrays(cfg)
     n = cfg.num_steps
@@ -85,7 +90,7 @@ def vpsde_dpmpp2m_sample(
     prefix = x[:, :fixed_frames] if fixed_frames > 0 else None
     x = x.astype(jnp.float32)
 
-    def body(carry, step):
+    def body(params, carry, step):
         x, old_d, key = carry
         key, k_noise, k_prefix = jax.random.split(key, 3)
         if prefix is not None:
@@ -96,7 +101,10 @@ def vpsde_dpmpp2m_sample(
                 x = jnp.concatenate([noised, x[:, fixed_frames:]], axis=1)
             else:
                 x = jnp.concatenate([prefix, x[:, fixed_frames:]], axis=1)
-        denoised = denoise_fn(x, step).astype(jnp.float32)
+        if params is None:
+            denoised = denoise_fn(x, step).astype(jnp.float32)
+        else:
+            denoised = denoise_fn(x, step, params).astype(jnp.float32)
         noise = jax.random.normal(k_noise, x.shape, jnp.float32)
         x_std = step["m1"] * x - step["m2"] * denoised + step["mn"] * noise
         denoised_d = step["m3"] * denoised - step["m4"] * old_d
@@ -105,19 +113,19 @@ def vpsde_dpmpp2m_sample(
         x_new = jnp.where(step["is_last"], denoised, x_new)
         return (x_new, denoised, key), None
 
+    @functools.partial(jax.jit, static_argnames=())
+    def scan_chunk(params, carry, sl):
+        return jax.lax.scan(lambda cc, ss: body(params, cc, ss), carry, sl)[0]
+
     carry = (x, jnp.zeros_like(x), key)
     if max_steps_per_call is None or max_steps_per_call >= n:
-        carry, _ = jax.lax.scan(body, carry, coeffs, length=n)
+        carry = scan_chunk(params, carry, coeffs)
     else:
         k = max_steps_per_call
-        scan_k = jax.jit(lambda carry, sl: jax.lax.scan(body, carry, sl))
         for s0 in range(0, n, k):
             m = min(k, n - s0)
             sl = jax.tree_util.tree_map(lambda a: a[s0:s0 + m], coeffs)
-            if m != k:  # keep one compiled shape: pad then trim via scan len
-                carry, _ = jax.lax.scan(body, carry, sl, length=m)
-            else:
-                carry, _ = scan_k(carry, sl)
+            carry = scan_chunk(params, carry, sl)
     x = carry[0]
     if prefix is not None:
         x = jnp.concatenate([prefix, x[:, fixed_frames:]], axis=1)

@@ -86,13 +86,13 @@ class CogModelInferWrapper:
                 self.params["vae"], pv, cfg.vae,
                 compute_dtype=self.compute_dtype)
 
-        denoise_fn = engine.make_denoise_fn(
+        denoise_fn, bundle = engine.make_denoise_fn(
             self.params["main"], self.params["control"],
             self.params["semantic"], cfg.dit, cfg.sampler, cfg.tokenizer,
             cfg.semantic_cond, context, uc_context, tokens,
             compute_dtype=self.compute_dtype, attn_impl=self.attn_impl)
         latents = engine.sample_latents(denoise_fn, cfg.sampler, cfg.dit,
-                                        key=key, prefix=prefix)
+                                        key=key, bundle=bundle, prefix=prefix)
         video = engine.decode_first_stage(self.params["vae"], latents,
                                           cfg.vae,
                                           compute_dtype=self.compute_dtype)

@@ -50,20 +50,20 @@ def generate_long_video_latents(params, cfg: LanDiffConfig, context,
         key, k_seg = jax.random.split(key)
         tokens = jnp.asarray(codes[seg * seg_tokens:(seg + 1) * seg_tokens]
                              ).reshape(1, -1)
-        denoise_fn = engine.make_denoise_fn(
+        denoise_fn, bundle = engine.make_denoise_fn(
             params["main"], params["control"], params["semantic"], cfg.dit,
             cfg.sampler, cfg.tokenizer, cfg.semantic_cond, context,
             uc_context, tokens, compute_dtype=compute_dtype,
             attn_impl=attn_impl)
         if all_latents is None:
             latents = engine.sample_latents(denoise_fn, cfg.sampler, cfg.dit,
-                                            key=k_seg)
+                                            key=k_seg, bundle=bundle)
             all_latents = latents
         else:
             prefix = all_latents[:, -prefix_latents:]
             latents = engine.sample_latents(denoise_fn, cfg.sampler, cfg.dit,
-                                            key=k_seg, prefix=prefix,
-                                            sdedit=sdedit)
+                                            key=k_seg, bundle=bundle,
+                                            prefix=prefix, sdedit=sdedit)
             all_latents = jnp.concatenate(
                 [all_latents, latents[:, prefix_latents:]], axis=1)
         logger.info("segment %d/%d: latents %s", seg + 1, n_seg,
