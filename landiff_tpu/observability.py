@@ -81,6 +81,19 @@ class MetricsLogger:
         return self.history[-1] if self.history else {}
 
 
+def device_memory_stats(device=None) -> dict:
+    """HBM usage snapshot (bytes_in_use / peak / limit where the backend
+    reports them)."""
+    if device is None:
+        device = jax.devices()[0]
+    try:
+        stats = device.memory_stats() or {}
+    except Exception:
+        stats = {}
+    return {k: stats[k] for k in ("bytes_in_use", "peak_bytes_in_use",
+                                  "bytes_limit") if k in stats}
+
+
 def set_deterministic(seed: int):
     """Determinism knobs (reference set_seed_for_single_process,
     utils.py:409-414): jax is deterministic by construction given keys; this
