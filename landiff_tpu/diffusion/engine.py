@@ -115,13 +115,19 @@ def sample_latents(denoise_fn, sampler_cfg: SamplerConfig, dit_cfg: DiTConfig,
 
 
 def decode_first_stage(vae_params, latents, vae_cfg: VAEConfig, *,
-                       streaming=True, compute_dtype=jnp.bfloat16):
+                       streaming=True, compute_dtype=jnp.bfloat16,
+                       first_chunk: int | None = None):
     """latents (B, T, C, H', W') -> video (B, 3, T_out, H, W) in [-1, 1]
     (dif_infer.py:245-271: 1/scale_factor then serial chunked decode)."""
+    import os
+
+    if first_chunk is None:
+        first_chunk = int(os.environ.get("LANDIFF_VAE_FIRST_CHUNK", "3"))
     z = latents.transpose(0, 2, 1, 3, 4) / vae_cfg.scale_factor
     if streaming:
         out = vae_lib.decode_streaming(vae_params["decoder"], z, vae_cfg,
-                                       compute_dtype=compute_dtype)
+                                       compute_dtype=compute_dtype,
+                                       first_chunk=first_chunk)
     else:
         out, _ = vae_lib.decode(vae_params["decoder"], z, vae_cfg,
                                 compute_dtype=compute_dtype)

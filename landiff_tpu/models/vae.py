@@ -79,19 +79,28 @@ def _nearest_resize_3d(x, t, h, w):
     return x[:, ti][:, :, hi][:, :, :, wi]
 
 
-def spatial_norm3d(p, f, zq, cache, path, updates, stream):
-    """SpatialNorm3D (no add_conv in released config)."""
-    Tf, Hf, Wf = f.shape[1:4]
+def _resize_like(zq, Tf, Hf, Wf):
+    """Nearest resize with the reference's odd-T first-frame split
+    (cp_enc_dec.py:547-560)."""
     if Tf > 1 and Tf % 2 == 1:
-        zq_first = _nearest_resize_3d(zq[:, :1], 1, Hf, Wf)
-        zq_rest = _nearest_resize_3d(zq[:, 1:], Tf - 1, Hf, Wf)
-        zqr = jnp.concatenate([zq_first, zq_rest], axis=1)
-    else:
-        zqr = _nearest_resize_3d(zq, Tf, Hf, Wf)
+        first = _nearest_resize_3d(zq[:, :1], 1, Hf, Wf)
+        rest = _nearest_resize_3d(zq[:, 1:], Tf - 1, Hf, Wf)
+        return jnp.concatenate([first, rest], axis=1)
+    return _nearest_resize_3d(zq, Tf, Hf, Wf)
+
+
+def spatial_norm3d(p, f, zq, cache, path, updates, stream):
+    """SpatialNorm3D (no add_conv in released config). The 1x1x1 conv_y /
+    conv_b run at LATENT resolution before the nearest resize — a 1x1 conv
+    commutes exactly with nearest-neighbour resizing, saving 64x conv work
+    and the full-resolution intermediates (the resize then fuses into the
+    elementwise modulation)."""
+    Tf, Hf, Wf = f.shape[1:4]
+    y_s = causal_conv3d(p["conv_y"], zq, cache, path + ".y", updates, stream)
+    b_s = causal_conv3d(p["conv_b"], zq, cache, path + ".b", updates, stream)
     norm_f = _gn(p, "norm", f)
-    y = causal_conv3d(p["conv_y"], zqr, cache, path + ".y", updates, stream)
-    b = causal_conv3d(p["conv_b"], zqr, cache, path + ".b", updates, stream)
-    return norm_f * y + b
+    return norm_f * _resize_like(y_s, Tf, Hf, Wf) + _resize_like(b_s, Tf, Hf,
+                                                                 Wf)
 
 
 def upsample3d(p, x, compress_time: bool):
@@ -203,15 +212,36 @@ def decode(params, z, cfg: VAEConfig, *, cache=None, stream=False,
     return h.transpose(0, 4, 1, 2, 3), (upd if stream else None)
 
 
-def decode_streaming(params, z, cfg: VAEConfig, compute_dtype=jnp.bfloat16):
-    """Serial chunked decode (dif_infer.py:245-271): latent windows [0:3],
-    then [2i+1:2i+3]; conv caches carried between chunks; cache cleared on
-    the last chunk."""
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "stream",
+                                             "compute_dtype"))
+def _decode_jit(params, z, cfg, cache, stream, compute_dtype):
+    return decode(params, z, cfg, cache=cache, stream=stream,
+                  compute_dtype=compute_dtype)
+
+
+def decode_streaming(params, z, cfg: VAEConfig, compute_dtype=jnp.bfloat16,
+                     first_chunk: int = 3):
+    """Serial chunked decode (dif_infer.py:245-271): latent windows
+    [0:first_chunk], then pairs; conv caches carried between chunks; cache
+    cleared on the last chunk. Each chunk is one jitted program so XLA frees
+    intermediates (eager per-op execution holds every temp alive and OOMs
+    at 480p); outputs are staged to host per chunk like the reference's
+    .cpu() moves (dif_infer.py:269).
+
+    first_chunk: the reference uses 3 (9 output frames in one program);
+    first_chunk=1 caps every program at 8 output frames — needed to fit
+    480p on a 16GB chip. Output frames are identical through the conv path
+    (cache-carried); only per-chunk GroupNorm statistics group differently,
+    the same approximation the reference's chunking already makes."""
+    import numpy as np
+
     T = z.shape[2]
     outs = []
     cache = None
-    start = 0
-    first = min(3, T)
+    first = min(first_chunk, T)
     chunks = [(0, first)]
     t = first
     while t < T:
@@ -219,10 +249,10 @@ def decode_streaming(params, z, cfg: VAEConfig, compute_dtype=jnp.bfloat16):
         t += 2
     for ci, (a, b) in enumerate(chunks):
         last = ci == len(chunks) - 1
-        out, cache = decode(params, z[:, :, a:b], cfg, cache=cache,
-                            stream=not last, compute_dtype=compute_dtype)
-        outs.append(out)
-    return jnp.concatenate(outs, axis=2)
+        out, cache = _decode_jit(params, z[:, :, a:b], cfg, cache,
+                                 not last, compute_dtype)
+        outs.append(np.asarray(out.astype(jnp.float32)))
+    return jnp.concatenate([jnp.asarray(o) for o in outs], axis=2)
 
 
 def sample_posterior(moments, key=None):

@@ -264,10 +264,12 @@ def flash_attention(q, k, v, *, mask_fn=None, scale=None,
 
 def attention(q, k, v, *, mask_fn=None, mask=None, scale=None,
               impl: str = "auto"):
-    """Dispatcher. impl: 'auto' (pallas on TPU, xla elsewhere), 'xla',
+    """Dispatcher. impl: 'auto' (pallas on TPU for long sequences, xla
+    elsewhere / for short ones where the dense S^2 fits easily), 'xla',
     'pallas'."""
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        impl = ("pallas" if jax.default_backend() == "tpu"
+                and q.shape[1] >= 2048 else "xla")
     if impl == "xla":
         return mha_reference(q, k, v, mask=mask, scale=scale, mask_fn=mask_fn)
     assert mask is None, "pallas path takes mask_fn, not dense mask"

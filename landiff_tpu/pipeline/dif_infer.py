@@ -47,11 +47,18 @@ class CogModelInferWrapper:
 
     def __init__(self, params, cfg: LanDiffConfig,
                  tokenizer_dir: str | None = None,
-                 compute_dtype=jnp.bfloat16, attn_impl="auto"):
+                 compute_dtype=jnp.bfloat16, attn_impl="auto",
+                 max_steps_per_call: int | None = None):
+        import os
+
         self.params = params
         self.cfg = cfg
         self.compute_dtype = compute_dtype
         self.attn_impl = attn_impl
+        if max_steps_per_call is None:
+            env = os.environ.get("LANDIFF_MAX_STEPS_PER_CALL")
+            max_steps_per_call = int(env) if env else None
+        self.max_steps_per_call = max_steps_per_call
         # stage-2 T5: max_length 226, padding to max, no attention mask
         # (encoders/modules.py:271-289)
         self.text = T5Text(tokenizer_dir or cfg.t5.model_name or None,
@@ -91,8 +98,9 @@ class CogModelInferWrapper:
             self.params["semantic"], cfg.dit, cfg.sampler, cfg.tokenizer,
             cfg.semantic_cond, context, uc_context, tokens,
             compute_dtype=self.compute_dtype, attn_impl=self.attn_impl)
-        latents = engine.sample_latents(denoise_fn, cfg.sampler, cfg.dit,
-                                        key=key, bundle=bundle, prefix=prefix)
+        latents = engine.sample_latents(
+            denoise_fn, cfg.sampler, cfg.dit, key=key, bundle=bundle,
+            prefix=prefix, max_steps_per_call=self.max_steps_per_call)
         video = engine.decode_first_stage(self.params["vae"], latents,
                                           cfg.vae,
                                           compute_dtype=self.compute_dtype)

@@ -96,6 +96,14 @@ def tree_cast(params, dtype):
         params)
 
 
+def freeze_tree(params):
+    """Gradient-freeze a param subtree (the reference's freeze_model,
+    utils.py:220-275, whose purpose is (a) no grads and (b) exclusion from
+    saved state): wrap leaves in stop_gradient at use. For (b), exclude the
+    subtree from the pytree passed to the optimizer/checkpointer."""
+    return jax.tree_util.tree_map(jax.lax.stop_gradient, params)
+
+
 def env_flag(name: str, default: bool = False) -> bool:
     v = os.environ.get(name)
     if v is None:
