@@ -138,6 +138,8 @@ def main():
     results = {}
     for name in ("t5", "stage1", "diffusion", "vae"):
         env = dict(os.environ, LANDIFF_E2E_PHASE=name)
+        # 16GB single chip: cap VAE programs at 8 output frames
+        env.setdefault("LANDIFF_VAE_FIRST_CHUNK", "1")
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True)
         line = [l for l in out.stdout.splitlines()

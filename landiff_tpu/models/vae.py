@@ -216,8 +216,13 @@ import functools
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "stream",
-                                             "compute_dtype"))
+                                             "compute_dtype"),
+                   donate_argnums=(3,))
 def _decode_jit(params, z, cfg, cache, stream, compute_dtype):
+    # the conv cache is consumed and replaced every chunk: donating it
+    # avoids double-buffering ~GBs of full-resolution conv tails (the
+    # reference parks its cache_padding on CPU for the same reason,
+    # cp_enc_dec.py:430-440)
     return decode(params, z, cfg, cache=cache, stream=stream,
                   compute_dtype=compute_dtype)
 
