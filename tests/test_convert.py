@@ -316,3 +316,38 @@ def test_convert_semantic_cond_matches_init_tree():
     got = convert.convert_semantic_cond(sd, sc.num_res_blocks)
     want = sc_lib.init(jax.random.PRNGKey(0), tok, sc)
     assert_tree_match(got, want)
+
+
+def test_convert_theia_matches_init_tree():
+    from landiff_tpu.models import theia as theia_lib
+    from landiff_tpu.config import TheiaConfig
+
+    cfg = TheiaConfig(image_size=32, patch_size=8, hidden_size=24,
+                      num_layers=2, num_heads=2, mlp_ratio=2.0)
+    sd = {}
+    D, M, P = 24, 48, 8
+    sd["backbone.model.embeddings.cls_token"] = _rand(1, 1, D)
+    sd["backbone.model.embeddings.position_embeddings"] = _rand(1, 17, D)
+    sd["backbone.model.embeddings.patch_embeddings.projection.weight"] = \
+        _rand(D, 3, P, P)
+    sd["backbone.model.embeddings.patch_embeddings.projection.bias"] = _rand(D)
+    for i in range(2):
+        p = f"backbone.model.encoder.layer.{i}."
+        for nm in ("query", "key", "value"):
+            sd[p + f"attention.attention.{nm}.weight"] = _rand(D, D)
+            sd[p + f"attention.attention.{nm}.bias"] = _rand(D)
+        sd[p + "attention.output.dense.weight"] = _rand(D, D)
+        sd[p + "attention.output.dense.bias"] = _rand(D)
+        sd[p + "layernorm_before.weight"] = _rand(D)
+        sd[p + "layernorm_before.bias"] = _rand(D)
+        sd[p + "layernorm_after.weight"] = _rand(D)
+        sd[p + "layernorm_after.bias"] = _rand(D)
+        sd[p + "intermediate.dense.weight"] = _rand(M, D)
+        sd[p + "intermediate.dense.bias"] = _rand(M)
+        sd[p + "output.dense.weight"] = _rand(D, M)
+        sd[p + "output.dense.bias"] = _rand(D)
+    sd["backbone.model.layernorm.weight"] = _rand(D)
+    sd["backbone.model.layernorm.bias"] = _rand(D)
+    got = convert.convert_theia(sd, num_layers=2)
+    want = theia_lib.init(jax.random.PRNGKey(0), cfg)
+    assert_tree_match(got, want)
