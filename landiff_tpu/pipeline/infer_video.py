@@ -54,11 +54,12 @@ def run(prompt: str, output_dir: str = "results", seed: int = 42,
         num_frames: int = 13, tiny: bool = False,
         ckpt_dir: str | None = None, fps: int = 8):
     cfg = tiny_test_config() if tiny else LanDiffConfig()
+    if tiny and num_frames % cfg.llm.frames_per_segment != 0:
+        # tiny config uses a smaller segment; map "one segment" semantics
+        num_frames = cfg.llm.frames_per_segment
     sample_cfg = ARSampleConfig(cfg_scale=cfg_scale,
                                 motion_score=motion_score,
-                                num_frames=num_frames if not tiny
-                                else cfg.llm.frames_per_segment,
-                                seed=seed)
+                                num_frames=num_frames, seed=seed)
     dtype = jnp.float32 if tiny else jnp.bfloat16
     llm, dif = build_pipeline(cfg, sample_cfg, seed, ckpt_dir,
                               compute_dtype=dtype)
@@ -74,9 +75,32 @@ def run(prompt: str, output_dir: str = "results", seed: int = 42,
     np.save(out / f"{stem}_codes.npy", code_task.result)
     logger.info("stage 1: %d codes in %.1fs", len(code_task.result), t1 - t0)
 
-    video_task = dif(dif_infer.VideoTask(
-        save_file_name=f"{stem}.mp4", prompt=prompt, seed=seed, fps=fps,
-        semantic_token=code_task.result))
+    seg_tokens = cfg.tokenizer.titok.latent_tokens
+    n_segments = len(code_task.result) // seg_tokens
+    if n_segments > 1:
+        # long-video streaming: per-segment chunked diffusion with prefix
+        # conditioning + one streaming VAE decode
+        from landiff_tpu.pipeline import long_video
+        from landiff_tpu.utils import seed_from_text
+
+        context = dif.encode_text(prompt)
+        # reference chunking: 7-latent prefix out of 13 (yaml:213); clamp
+        # for small test configs
+        prefix_latents = min(7, cfg.dit.latent_frames - 1)
+        video, latents = long_video.generate_long_video(
+            dif.params, cfg, context, jnp.zeros_like(context),
+            code_task.result,
+            key=jax.random.PRNGKey(seed_from_text(prompt, seed)),
+            prefix_latents=prefix_latents,
+            compute_dtype=dif.compute_dtype)
+        video_task = dif_infer.VideoTask(
+            save_file_name=f"{stem}.mp4", prompt=prompt, seed=seed, fps=fps,
+            semantic_token=code_task.result, result=np.asarray(video),
+            latent=np.asarray(latents))
+    else:
+        video_task = dif(dif_infer.VideoTask(
+            save_file_name=f"{stem}.mp4", prompt=prompt, seed=seed, fps=fps,
+            semantic_token=code_task.result))
     t2 = time.time()
     logger.info("stage 2: video %s in %.1fs", video_task.result.shape,
                 t2 - t1)

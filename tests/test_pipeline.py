@@ -43,3 +43,18 @@ def test_image2video_prefix(tmp_path):
                 prefix_video=prefix_video)
     assert task.result is not None
     assert task.latent.shape[1] == cfg.dit.latent_frames
+
+
+def test_tiny_pipeline_long_video(tmp_path):
+    """Multi-segment prompt routes through the long-video streaming path."""
+    from landiff_tpu.config import tiny_test_config
+
+    cfg = tiny_test_config()
+    seg = cfg.llm.frames_per_segment
+    res = run("a dog surfing", output_dir=str(tmp_path), seed=3, tiny=True,
+              num_frames=2 * seg)
+    t = cfg.tokenizer.titok
+    assert len(res["codes"]) == 2 * t.latent_tokens
+    # latent frames: 13-tiny=3 -> 3 + (3 - 7?) prefix default 7 > tiny lat
+    video = res["video"]
+    assert video.shape[1] == 3 and not np.isnan(video).any()
