@@ -26,7 +26,6 @@ import numpy as np
 
 from landiff_tpu.config import LanDiffConfig
 from landiff_tpu.ckpt import convert
-from landiff_tpu.utils import tree_cast
 
 logger = logging.getLogger("landiff_tpu.ckpt")
 

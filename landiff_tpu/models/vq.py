@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from landiff_tpu.config import TokenizerConfig, VQConfig
+from landiff_tpu.config import TokenizerConfig
 from landiff_tpu.models import theia as theia_lib
 from landiff_tpu.models import titok as titok_lib
 

@@ -80,7 +80,10 @@ def _flash_kernel(count_ref,     # SMEM (nq,) int32: visible kv-block count
     bh = pl.program_id(0)
     qi = pl.program_id(1)
     nkb = count_ref[qi]
-    q = q_ref[0]                                       # (bq, D), input dtype
+    # log2-domain softmax: fold scale*log2(e) into q (a (bq, D) multiply
+    # instead of per-tile (bq, bkv) ones) and use the native exp2
+    LOG2E = 1.4426950408889634
+    q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(q_ref.dtype)
     m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
     a0 = jnp.zeros((block_q, q.shape[-1]), jnp.float32)
@@ -117,10 +120,11 @@ def _flash_kernel(count_ref,     # SMEM (nq,) int32: visible kv-block count
         kj = order_ref[qi, j]
         k = k_buf[slot]                                # (D, bkv), bf16
         v = v_buf[slot]                                # (D, bkv), bf16
-        # bf16 x bf16 -> f32 accumulation: keep the MXU at full rate
+        # bf16 x bf16 -> f32 accumulation: keep the MXU at full rate;
+        # s is in log2 units (scale*log2e folded into q)
         s = jax.lax.dot_general(
             q, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # (bq, bkv) f32
+            preferred_element_type=jnp.float32)        # (bq, bkv) f32
         keep = None
         if mask_fn is not None:
             rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
@@ -133,8 +137,8 @@ def _flash_kernel(count_ref,     # SMEM (nq,) int32: visible kv-block count
             keep = jnp.maximum(tile_mask.astype(jnp.float32), full)
             s = s * keep + NEG_INF * (1.0 - keep)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)
+        alpha = jnp.exp2(m - m_new)
+        p = jnp.exp2(s - m_new)
         if keep is not None:
             # fully-masked rows must output 0 (flex-attention semantics)
             p = p * keep

@@ -10,7 +10,6 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
-from landiff_tpu.ops import masks as masks_lib
 
 
 @dataclass(frozen=True)

@@ -8,9 +8,6 @@ from __future__ import annotations
 import logging
 from pathlib import Path
 
-import jax
-import numpy as np
-
 logger = logging.getLogger("landiff_tpu.training")
 
 

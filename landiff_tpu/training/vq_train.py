@@ -17,7 +17,6 @@ import optax
 
 from landiff_tpu.config import TokenizerConfig
 from landiff_tpu.models import titok as titok_lib
-from landiff_tpu.models import vq as vq_lib
 
 
 class CodebookState(NamedTuple):
