@@ -237,7 +237,9 @@ def convert_dit(sd: dict[str, np.ndarray], num_layers: int,
         "final_ln_w": sd["transformer.final_layernorm.weight"],
         "final_ln_b": sd["transformer.final_layernorm.bias"],
     }
-    if "mixins.final_layer.norm_final.weight" in sd:
+    # the control net has EmptyFinalLayerMixin — any final_layer keys in the
+    # (base) state dict are ignored, as SAT's strict=False load does
+    if not control and "mixins.final_layer.norm_final.weight" in sd:
         out["final"] = {
             "norm_w": sd["mixins.final_layer.norm_final.weight"],
             "norm_b": sd["mixins.final_layer.norm_final.bias"],
