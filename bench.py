@@ -94,11 +94,15 @@ def main():
     # honest scaling of the baseline estimate when benching a reduced model
     ref_ms = A100_REF_STEP_MS * (scale ** 3 if scale < 1.0 else 1.0)
     print(json.dumps({
-        "metric": "dit_cfg_denoise_step_ms" + ("" if scale == 1.0
-                                               else f"_scale{scale}"),
+        # "_estbase" marks that vs_baseline divides by an ESTIMATED A100
+        # reference step time (35% MFU), since the reference publishes no
+        # timings (BASELINE.md).
+        "metric": "dit_cfg_denoise_step_ms_estbase" + (
+            "" if scale == 1.0 else f"_scale{scale}"),
         "value": round(step_ms, 2),
         "unit": "ms",
         "vs_baseline": round(ref_ms / step_ms, 3),
+        "baseline_kind": "estimate_a100_35pct_mfu",
     }))
     print(f"# compile {compile_s:.1f}s, runs {['%.3f' % t for t in times]}, "
           f"attn={attn}, devices={jax.devices()}")

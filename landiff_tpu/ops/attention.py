@@ -175,8 +175,8 @@ def _flash_call(q, k, v, count, order, kind, *, mask_fn, scale, block_q,
         grid=(BH, nq),
         in_specs=[
             pl.BlockSpec((1, block_q, D), lambda bh, qi, *_: (bh, qi, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # K stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),   # V stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # K stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # V stays in HBM
         ],
         out_specs=pl.BlockSpec((1, block_q, D), lambda bh, qi, *_: (bh, qi, 0)),
         scratch_shapes=[

@@ -67,15 +67,13 @@ def ring_attention_local(q, k, v, axis: str, *, scale=None):
 def ring_attention(q, k, v, mesh, *, axis: str = "time", scale=None):
     """Sharded full attention: (B, S, H, Dh), S sharded on `axis`. Matches
     dense attention over the gathered sequence."""
-    from jax.experimental.shard_map import shard_map
-
     n = mesh.shape[axis]
     assert q.shape[1] % n == 0, (q.shape, n)
 
     @functools.partial(
-        shard_map, mesh=mesh,
+        jax.shard_map, mesh=mesh,
         in_specs=(P(None, axis), P(None, axis), P(None, axis)),
-        out_specs=P(None, axis), check_rep=False)
+        out_specs=P(None, axis), check_vma=False)
     def run(q, k, v):
         return ring_attention_local(q, k, v, axis, scale=scale)
 

@@ -244,8 +244,6 @@ def encode_temporal_cp(params, x, cfg: VAEConfig, mesh, *,
                        axis: str = "time", compute_dtype=jnp.bfloat16):
     """Multi-chip temporal-CP encode. x: (B, 3, T, H, W) in [-1,1].
     Returns moments (B, 2z, T', H/8, W/8) gathered."""
-    from jax.experimental.shard_map import shard_map
-
     n = mesh.shape[axis]
     xt = x.transpose(0, 2, 3, 4, 1)
     T = xt.shape[1]
@@ -259,10 +257,10 @@ def encode_temporal_cp(params, x, cfg: VAEConfig, mesh, *,
     xr = xt[:, 1:]
 
     @functools.partial(
-        shard_map, mesh=mesh,
+        jax.shard_map, mesh=mesh,
         in_specs=(P(), P(None, axis)),
         out_specs=(P(), P(None, axis)),
-        check_rep=False)
+        check_vma=False)
     def run(x0, xr):
         return encode_cp_local(params, x0, xr, cfg, axis, compute_dtype)
 
@@ -275,8 +273,6 @@ def decode_temporal_cp(params, z, cfg: VAEConfig, mesh, *,
                        axis: str = "time", compute_dtype=jnp.bfloat16):
     """Multi-chip temporal-CP decode. z: (B, zc, T, h, w) NCTHW.
     Returns (B, 3, T_out, H, W) fully gathered."""
-    from jax.experimental.shard_map import shard_map
-
     n = mesh.shape[axis]
     zt = z.transpose(0, 2, 3, 4, 1)               # NTHWC
     T = zt.shape[1]
@@ -289,10 +285,10 @@ def decode_temporal_cp(params, z, cfg: VAEConfig, mesh, *,
     zr = zt[:, 1:]
 
     @functools.partial(
-        shard_map, mesh=mesh,
+        jax.shard_map, mesh=mesh,
         in_specs=(P(), P(None, axis)),
         out_specs=(P(), P(None, axis)),
-        check_rep=False)
+        check_vma=False)
     def run(z0, zr):
         return decode_cp_local(params, z0, zr, cfg, axis, compute_dtype)
 

@@ -12,26 +12,18 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def _zero_spec(x, axis: str, min_size: int) -> P:
+def _zero_spec(x, axis: str, axis_size: int, min_size: int) -> P:
     """Shard the largest dim divisible by the axis size; replicate tiny
     leaves (scalars, norms)."""
     shape = np.asarray(x).shape
     if not shape or np.prod(shape) < min_size:
         return P()
-    order = np.argsort(shape)[::-1]
-    return _spec_for_dim(shape, order, axis)
-
-
-def _spec_for_dim(shape, order, axis):
-    for d in order:
-        if shape[d] % _AXIS_SIZE[0] == 0 and shape[d] >= _AXIS_SIZE[0]:
+    for d in np.argsort(shape)[::-1]:
+        if shape[d] % axis_size == 0 and shape[d] >= axis_size:
             spec = [None] * len(shape)
             spec[d] = axis
             return P(*spec)
     return P()
-
-
-_AXIS_SIZE = [1]
 
 
 def zero_shard_opt_state(opt_state, mesh: Mesh, *, axis: str = "data",
@@ -40,9 +32,9 @@ def zero_shard_opt_state(opt_state, mesh: Mesh, *, axis: str = "data",
     over `axis`. Returns (sharded_state, shardings_pytree) — pass the
     shardings as jit out_shardings for the train step so updated state
     stays sharded."""
-    _AXIS_SIZE[0] = mesh.shape[axis]
+    n = mesh.shape[axis]
     specs = jax.tree_util.tree_map(
-        lambda x: _zero_spec(x, axis, min_size), opt_state)
+        lambda x: _zero_spec(x, axis, n, min_size), opt_state)
     shardings = jax.tree_util.tree_map(
         lambda s: NamedSharding(mesh, s), specs,
         is_leaf=lambda s: isinstance(s, P))
@@ -56,10 +48,9 @@ def opt_state_bytes_per_device(opt_state, mesh: Mesh, axis: str = "data"):
     n = mesh.shape[axis]
     total = sum(np.asarray(x).nbytes
                 for x in jax.tree_util.tree_leaves(opt_state))
-    _AXIS_SIZE[0] = n
     sharded = 0
     for x in jax.tree_util.tree_leaves(opt_state):
-        spec = _zero_spec(x, axis, 2 ** 16)
+        spec = _zero_spec(x, axis, n, 2 ** 16)
         frac = 1.0 / n if any(spec) else 1.0
         sharded += np.asarray(x).nbytes * frac
     return int(sharded), int(total)

@@ -185,6 +185,26 @@ def test_predict_eos_early_stop():
     first_block = sched.num_visual // 2
     assert codes.shape[0] >= first_block
 
+    # the while_loop must EXIT at EOS (reference breaks the Python loop,
+    # lm_model.py:455-462), not run to schedule end with masking: positions
+    # beyond the stop are never executed, so forced structural slots there
+    # keep their zero init instead of the forced ids (all >= codebook_size)
+    st = lm._SampleStatic(
+        cfg=CFG, prefix_len=sched.prefix_len, full_len=sched.full_len,
+        temperature=scfg.temperature, top_k=scfg.top_k, top_p=scfg.top_p,
+        guidance_scale=scfg.cfg_scale)
+    out, stop = lm._sample_jit(
+        params, prompt, jnp.asarray(sched.forced),
+        jnp.asarray(sched.allow_eos),
+        jnp.full((sched.full_len,), -1, jnp.int32),
+        jax.random.PRNGKey(3), st, True, jnp.float32, jnp.float32)
+    out, stop = np.asarray(out), int(stop)
+    assert stop < sched.full_len - 1
+    later_structural = (np.asarray(sched.forced) >= CFG.codebook_size)
+    later_structural[: stop + 2] = False  # stop step itself still executes
+    assert later_structural.any()
+    assert (out[later_structural] == 0).all()
+
 
 def test_gt_first_frame_sampling():
     """use_gt_first_frame: gt I-frame codes live in the prompt; sampling
