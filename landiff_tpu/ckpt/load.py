@@ -71,7 +71,16 @@ def load_stage1(ckpt_dir: str | Path, cfg: LanDiffConfig,
             t5_dir = ckpt_dir / cand
             break
     if t5_dir is None:
-        raise FileNotFoundError(f"no T5 weights under {ckpt_dir}")
+        # reference stage-1 pulls google/flan-t5-xxl from the HF hub
+        # (text_encoder.py:137-146); mirror that as the fallback
+        try:
+            from huggingface_hub import snapshot_download
+
+            t5_dir = Path(snapshot_download("google/flan-t5-xxl"))
+        except Exception as e:
+            raise FileNotFoundError(
+                f"no T5 weights under {ckpt_dir} and HF hub fetch of "
+                f"google/flan-t5-xxl failed ({e})") from None
     t5_sd = load_hf_sharded_safetensors(t5_dir)
     t5 = t5_lib.params_from_hf_state_dict(t5_sd, cfg.t5, dtype)
     return {"lm": _to_jnp(lm, dtype), "t5": t5}

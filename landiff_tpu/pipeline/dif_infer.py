@@ -48,7 +48,8 @@ class CogModelInferWrapper:
     def __init__(self, params, cfg: LanDiffConfig,
                  tokenizer_dir: str | None = None,
                  compute_dtype=jnp.bfloat16, attn_impl="auto",
-                 max_steps_per_call: int | None = None):
+                 max_steps_per_call: int | None = None,
+                 require_real_tokenizer: bool = False):
         import os
 
         self.params = params
@@ -63,7 +64,8 @@ class CogModelInferWrapper:
         # (encoders/modules.py:271-289)
         self.text = T5Text(tokenizer_dir or cfg.t5.model_name or None,
                            max_length=cfg.dit.text_length,
-                           padding_side="right")
+                           padding_side="right",
+                           require_real=require_real_tokenizer)
 
     def encode_text(self, prompt: str):
         ids, _ = self.text([prompt], pad_to_max=True)

@@ -34,18 +34,25 @@ def build_pipeline(cfg: LanDiffConfig, sample_cfg: ARSampleConfig,
 
         llm_params = ckpt_load.load_stage1(ckpt_dir, cfg)
         dif_params = ckpt_load.load_stage2(ckpt_dir, cfg)
-        tok_dir = str(Path(ckpt_dir) / "t5-v1_1-xxl")
+        tok_dir = None
+        for cand in ("t5-v1_1-xxl", "CogVideoX-2b-sat/t5-v1_1-xxl",
+                     "flan-t5-xxl"):
+            if (Path(ckpt_dir) / cand).exists():
+                tok_dir = str(Path(ckpt_dir) / cand)
+                break
     else:
         key = jax.random.PRNGKey(seed)
         k1, k2 = jax.random.split(key)
         llm_params = llm_infer.init_params(k1, cfg.llm, cfg.t5)
         dif_params = dif_infer.init_params(k2, cfg)
         tok_dir = None
+    real = ckpt_dir is not None
     llm = llm_infer.ArModelInferWrapper(
         llm_params, cfg.llm, cfg.t5, sample_cfg, tokenizer_dir=tok_dir,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, require_real_tokenizer=real)
     dif = dif_infer.CogModelInferWrapper(
-        dif_params, cfg, tokenizer_dir=tok_dir, compute_dtype=compute_dtype)
+        dif_params, cfg, tokenizer_dir=tok_dir, compute_dtype=compute_dtype,
+        require_real_tokenizer=real)
     return llm, dif
 
 

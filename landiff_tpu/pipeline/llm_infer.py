@@ -42,14 +42,16 @@ class ArModelInferWrapper:
     def __init__(self, params, llm_cfg: LLMConfig, t5_cfg: T5Config,
                  sample_cfg: ARSampleConfig | None = None,
                  tokenizer_dir: str | None = None,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16,
+                 require_real_tokenizer: bool = False):
         self.params = params
         self.llm_cfg = llm_cfg
         self.t5_cfg = t5_cfg
         self.sample_cfg = sample_cfg or ARSampleConfig()
         self.compute_dtype = compute_dtype
         self.text = T5Text(tokenizer_dir or t5_cfg.model_name or None,
-                           max_length=t5_cfg.max_length, padding_side="left")
+                           max_length=t5_cfg.max_length, padding_side="left",
+                           require_real=require_real_tokenizer)
 
     def encode_text(self, prompt: str):
         """T5 encode, unpadded features (conditioner.py:230-264 path)."""

@@ -24,20 +24,36 @@ class T5Text:
     stage-2 (encoders/modules.py:282 padding='max_length')."""
 
     def __init__(self, model_dir: str | None = None, max_length: int = 512,
-                 padding_side: str = "left", vocab_size: int = 32128):
+                 padding_side: str = "left", vocab_size: int = 32128,
+                 require_real: bool = False):
+        """require_real: set when REAL (checkpoint-converted) model params
+        are in play — a missing tokenizer then raises instead of silently
+        degrading to the byte-hash fallback (which would feed the real T5
+        garbage ids and poison every downstream code)."""
         self.max_length = max_length
         self.padding_side = padding_side
         self.vocab_size = vocab_size
         self.tokenizer = None
+        err = None
         if model_dir is not None:
             try:
                 from transformers import T5Tokenizer, AutoTokenizer
 
                 if Path(model_dir).exists() or "/" in model_dir:
                     self.tokenizer = AutoTokenizer.from_pretrained(model_dir)
+                else:
+                    err = FileNotFoundError(model_dir)
             except Exception as e:
-                logger.warning("T5 tokenizer unavailable (%s); using "
-                               "byte-level fallback tokenizer", e)
+                err = e
+        elif require_real:
+            err = ValueError("no tokenizer model_dir given")
+        if self.tokenizer is None and err is not None:
+            if require_real:
+                raise RuntimeError(
+                    f"real model weights require a real T5 tokenizer, but "
+                    f"loading from {model_dir!r} failed: {err}") from err
+            logger.warning("T5 tokenizer unavailable (%s); using "
+                           "byte-level fallback tokenizer", err)
 
     def __call__(self, texts: list[str], pad_to_max: bool = False):
         """Returns (input_ids (B, L) int32, attn_mask (B, L) bool)."""

@@ -141,6 +141,32 @@ def test_load_stage1(ckpt_tree):
     assert params["t5"]["embed"].shape == (CFG.t5.vocab_size, CFG.t5.d_model)
 
 
+def test_load_stage1_hub_fallback(tmp_path, monkeypatch):
+    """Without a local T5 dir the loader mirrors the reference's HF-hub
+    fallback to google/flan-t5-xxl (text_encoder.py:137-146); offline the
+    failure must surface as an informative FileNotFoundError, not a
+    silent skip."""
+    llm_sd, _ = synth_llm_sd(CFG)
+    _save_safetensors(tmp_path / "llm" / "model.safetensors", llm_sd)
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    with pytest.raises(FileNotFoundError, match="flan-t5-xxl"):
+        ckpt_load.load_stage1(tmp_path, CFG)
+
+
+def test_require_real_tokenizer_raises():
+    """With converted real weights a missing T5 tokenizer must be a hard
+    error (a byte-hash fallback would silently poison stage-1 codes)."""
+    from landiff_tpu.pipeline.text import T5Text
+
+    with pytest.raises(RuntimeError, match="real"):
+        T5Text("/nonexistent/t5-dir", require_real=True)
+    with pytest.raises(RuntimeError, match="real"):
+        T5Text(None, require_real=True)
+    # without the flag the fallback still works for smoke runs
+    ids, mask = T5Text("/nonexistent/t5-dir")(["hello"])
+    assert ids.shape == mask.shape and mask.any()
+
+
 def test_load_tokenizer(ckpt_tree):
     from landiff_tpu.models import vq as vq_lib
 
