@@ -118,17 +118,34 @@ def forward_features(params, images, cfg: TheiaConfig,
     x = x.reshape(B, h * w, -1)
     cls = jnp.broadcast_to(params["cls"].astype(compute_dtype)[None, None],
                            (B, 1, x.shape[-1]))
-    x = jnp.concatenate([cls, x], axis=1)
+    # DeiTReg variant (theia_model.py:121-327): N learned register tokens
+    # appended AFTER the patch tokens, with their own learned pos embed
+    # (reg_pos_embed concatenated to the interpolated table, :266-270).
+    n_reg = cfg.num_register_tokens
+    parts = [cls, x]
+    if n_reg:
+        reg = jnp.broadcast_to(
+            params["reg_token"].astype(compute_dtype)[None],
+            (B, n_reg, x.shape[-1]))
+        parts.append(reg)
+    x = jnp.concatenate(parts, axis=1)
     src_g = cfg.image_size // P
     if (h, w) == (src_g, src_g):
         pos = np.asarray(params["pos"])
     else:
         pos = interpolate_pos_embed(np.asarray(params["pos"]), h, w)
-    x = x + jnp.asarray(pos, compute_dtype)[None]
+    pos = jnp.asarray(pos, compute_dtype)
+    if n_reg:
+        pos = jnp.concatenate(
+            [pos, params["reg_pos"].astype(compute_dtype)], axis=0)
+    x = x + pos[None]
     for p in params["blocks"]:
         x = _vit_block(p, x, cfg)
     x = layer_norm(x, params["ln_f_w"], params["ln_f_b"], cfg.layer_norm_eps)
-    return x[:, 1:].reshape(B, h, w, -1)
+    # handle_feature_output(..., num_discard_tokens=N) (theia_model.py:23-63):
+    # strip CLS at the front and the register tokens at the end
+    end = x.shape[1] - n_reg
+    return x[:, 1:end].reshape(B, h, w, -1)
 
 
 def extract(params, frames, cfg: TheiaConfig, output_shape=None,
@@ -170,7 +187,7 @@ def init(key, cfg: TheiaConfig, dtype=jnp.float32):
             "fc0_w": nrm(next(keys), (D, M)), "fc0_b": jnp.zeros((M,), dtype),
             "fc1_w": nrm(next(keys), (M, D)), "fc1_b": jnp.zeros((D,), dtype),
         })
-    return {
+    out = {
         "patch_w": nrm(next(keys), (P, P, 3, D)),
         "patch_b": jnp.zeros((D,), dtype),
         "cls": nrm(next(keys), (D,)),
@@ -179,3 +196,9 @@ def init(key, cfg: TheiaConfig, dtype=jnp.float32):
         "ln_f_w": jnp.ones((D,), dtype),
         "ln_f_b": jnp.zeros((D,), dtype),
     }
+    if cfg.num_register_tokens:
+        # DeiTReg: trunc-normal reg_token + reg_pos_embed (theia_model.py:
+        # 209-227)
+        out["reg_token"] = nrm(next(keys), (cfg.num_register_tokens, D))
+        out["reg_pos"] = nrm(next(keys), (cfg.num_register_tokens, D))
+    return out

@@ -125,14 +125,22 @@ def tokenizer_loss(params, features, cfg: TokenizerConfig, *,
 
 
 def make_train_step(optimizer, cfg: TokenizerConfig, *, decay=0.8,
-                    threshold_dead=2.0, compute_dtype=jnp.float32):
+                    threshold_dead=2.0, compute_dtype=jnp.float32,
+                    ema_decay: float | None = None):
+    """Build the jitted tokenizer train step.
+
+    With `ema_decay` set (LitEma parity, sgm/modules/ema.py:1-88 — the
+    reference default is 0.9999), the step additionally takes and returns
+    an `ema.EmaState` tracking a shadow of the trainable params; evaluate
+    with `ema.copy_to(state, params)`."""
+    from landiff_tpu.training import ema as ema_lib
+
     def loss_fn(params, features):
         return tokenizer_loss(params, features, cfg,
                               commit_weight=cfg.vq.commitment_weight,
                               compute_dtype=compute_dtype)
 
-    @jax.jit
-    def train_step(params, opt_state, cb_state, features, key):
+    def _step(params, opt_state, cb_state, features, key):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, features)
         # codebook is EMA-owned: zero its gradient
@@ -150,4 +158,15 @@ def make_train_step(optimizer, cfg: TokenizerConfig, *, decay=0.8,
         metrics["total_loss"] = loss
         return params, opt_state, cb_state, metrics
 
-    return train_step
+    if ema_decay is None:
+        return jax.jit(_step)
+
+    @jax.jit
+    def train_step_ema(params, opt_state, cb_state, ema_state, features,
+                       key):
+        params, opt_state, cb_state, metrics = _step(
+            params, opt_state, cb_state, features, key)
+        ema_state = ema_lib.ema_update(ema_state, params, decay=ema_decay)
+        return params, opt_state, cb_state, ema_state, metrics
+
+    return train_step_ema

@@ -157,3 +157,37 @@ def test_theia_interpolated_resolution_runs():
     img = jnp.zeros((1, 2, 48, 64, 3), jnp.uint8)  # (B, T, H, W, C)
     feats = theia_lib.extract(params, img, cfg, compute_dtype=jnp.float32)
     assert feats.shape == (1, 2, 5, 7, 24)
+
+
+def test_theia_register_tokens():
+    """DeiTReg variant (theia_model.py:121-327, 545-634): N register tokens
+    appended after the patches with their own pos embed, stripped from the
+    output together with CLS — output shape is unchanged, but the extra
+    attended tokens change the features."""
+    base = TheiaConfig(image_size=32, patch_size=8, hidden_size=24,
+                       num_layers=2, num_heads=2, mlp_ratio=2.0)
+    reg = TheiaConfig(image_size=32, patch_size=8, hidden_size=24,
+                      num_layers=2, num_heads=2, mlp_ratio=2.0,
+                      num_register_tokens=7)
+    p_reg = theia_lib.init(jax.random.PRNGKey(0), reg)
+    assert p_reg["reg_token"].shape == (7, 24)
+    assert p_reg["reg_pos"].shape == (7, 24)
+    img = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (2, 32, 32, 3)), jnp.uint8)
+    out_reg = theia_lib.forward_features(p_reg, img, reg,
+                                         compute_dtype=jnp.float32)
+    assert out_reg.shape == (2, 4, 4, 24)
+
+    # same weights without the register tokens -> different features
+    p_base = {k: v for k, v in p_reg.items()
+              if k not in ("reg_token", "reg_pos")}
+    out_base = theia_lib.forward_features(p_base, img, base,
+                                          compute_dtype=jnp.float32)
+    assert out_base.shape == out_reg.shape
+    assert not np.allclose(np.asarray(out_base), np.asarray(out_reg))
+
+    # interpolated (non-square) resolution also carries the reg pos embed
+    img2 = jnp.zeros((1, 48, 64, 3), jnp.uint8)
+    out2 = theia_lib.forward_features(p_reg, img2, reg,
+                                      compute_dtype=jnp.float32)
+    assert out2.shape == (1, 6, 8, 24)
