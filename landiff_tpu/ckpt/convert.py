@@ -40,8 +40,11 @@ def load_torch_file(path: str | Path) -> dict[str, np.ndarray]:
         obj = obj["module"]
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
+    # frozen submodules are saved with None values (reference freeze_model,
+    # utils.py:256-266) — drop them so they can't shadow real weights when
+    # dicts are merged (ControlDiffWarp base-then-override)
     return {k: v.float().numpy() if hasattr(v, "numpy") else np.asarray(v)
-            for k, v in obj.items()}
+            for k, v in obj.items() if v is not None}
 
 
 def _lin(sd, key):
@@ -51,7 +54,12 @@ def _lin(sd, key):
 
 def _sub(sd, prefix):
     n = len(prefix)
-    return {k[n:]: v for k, v in sd.items() if k.startswith(prefix)}
+    sub = {k[n:]: v for k, v in sd.items() if k.startswith(prefix)}
+    if isinstance(sd, TrackedStateDict):
+        child = TrackedStateDict(sub)
+        child._parent, child._parent_prefix = sd, prefix
+        return child
+    return sub
 
 
 # ---------------------------------------------------------------------------
@@ -445,3 +453,197 @@ def split_engine_state(sd: dict[str, np.ndarray]):
         "vae": _sub(sd, "first_stage_model."),
         "t5": _sub(sd, "conditioner.embedders.0.transformer."),
     }
+
+
+# ---------------------------------------------------------------------------
+# consumed-key tracking + verify mode
+
+
+class TrackedStateDict(dict):
+    """State dict that records which keys a conversion actually touched —
+    the unconsumed remainder is the cheap canary for layout drift."""
+
+    def __init__(self, sd):
+        super().__init__(sd)
+        self.consumed: set[str] = set()
+        self._parent = None          # set by _sub for prefixed views
+        self._parent_prefix = ""
+
+    def _mark(self, k):
+        self.consumed.add(k)
+        if self._parent is not None:
+            self._parent._mark(self._parent_prefix + k)
+
+    def __getitem__(self, k):
+        self._mark(k)
+        return super().__getitem__(k)
+
+    def get(self, k, default=None):
+        if super().__contains__(k):
+            self._mark(k)
+        return super().get(k, default)
+
+    @property
+    def unconsumed(self) -> set[str]:
+        return set(self.keys()) - self.consumed
+
+
+def convert_tracked(fn, sd, *args, **kwargs):
+    """Run a convert_* function on a TrackedStateDict; returns
+    (tree, unconsumed_keys)."""
+    tsd = TrackedStateDict(sd)
+    tree = fn(tsd, *args, **kwargs)
+    return tree, tsd.unconsumed
+
+
+def verify_ckpt_tree(ckpt_dir, cfg=None, *, torch_block_check: bool = True):
+    """`--verify` mode: for every real checkpoint file present under
+    ckpt_dir, convert with key tracking and report missing/unconsumed keys
+    against the manifests; validate the frozen SAT pos_embedding against
+    our recomputed 3-D sincos table; optionally round-trip one DiT AdaLN
+    layer through a torch transcription with the REAL weights.
+
+    Returns a report dict; raises nothing (all findings are reported)."""
+    from landiff_tpu.ckpt import manifests
+    from landiff_tpu.config import LanDiffConfig
+
+    cfg = cfg or LanDiffConfig()
+    ckpt_dir = Path(ckpt_dir)
+    report = {}
+
+    def check(name, path, convert_fn, manifest, ignored=()):
+        if not path.exists():
+            report[name] = {"status": "absent"}
+            return None
+        sd = load_torch_file(path)
+        missing_from_file = sorted(set(manifest) - set(sd))
+        extra_in_file = sorted(set(sd) - set(manifest))
+        shape_mismatch = sorted(
+            k for k in set(manifest) & set(sd)
+            if tuple(np.asarray(sd[k]).shape) != tuple(manifest[k]))
+        try:
+            tree, unconsumed = convert_tracked(convert_fn, sd)
+            err = None
+        except KeyError as e:
+            tree, unconsumed, err = None, set(), f"missing key: {e}"
+        bad_unconsumed = sorted(
+            k for k in unconsumed
+            if not any(k.startswith(i) or i in k for i in ignored))
+        report[name] = {
+            "status": "error" if err else "ok",
+            "error": err,
+            "missing_vs_manifest": missing_from_file,
+            "extra_vs_manifest": extra_in_file,
+            "shape_mismatch": shape_mismatch,
+            "unconsumed_unexpected": bad_unconsumed,
+        }
+        return sd if tree is not None else None
+
+    check("llm", ckpt_dir / "llm" / "model.safetensors",
+          lambda sd: convert_llm(sd, cfg.llm.num_layers),
+          manifests.llm_safetensors(cfg.llm, t5_dim=cfg.t5.d_model))
+    check("tokenizer", ckpt_dir / "tokenizer" / "model.safetensors",
+          convert_tokenizer, manifests.tokenizer_safetensors(cfg.tokenizer),
+          ignored=manifests.TOKENIZER_IGNORED)
+
+    base_path = (ckpt_dir / "CogVideoX-2b-sat" / "transformer" / "1000"
+                 / "mp_rank_00_model_states.pt")
+    base_sd = None
+    if base_path.exists():
+        raw = load_torch_file(base_path)
+        base_sd = {k[6:]: v for k, v in raw.items()
+                   if k.startswith("model.")}
+        tree, unconsumed = convert_tracked(
+            lambda sd: convert_dit(sd, cfg.dit.num_layers), base_sd)
+        bad = sorted(k for k in unconsumed
+                     if not any(k.startswith(i) for i in
+                                manifests.DIT_IGNORED))
+        entry = {"status": "ok", "unconsumed_unexpected": bad}
+        # validate our recomputed sincos table vs the frozen parameter
+        if "mixins.pos_embed.pos_embedding" in base_sd:
+            from landiff_tpu.models import dit as dit_lib
+
+            theirs = np.asarray(
+                base_sd["mixins.pos_embed.pos_embedding"])[0]
+            ours = dit_lib.pos_embed_table(cfg.dit)
+            n = min(len(theirs), len(ours))
+            entry["pos_embed_max_abs_diff"] = float(
+                np.abs(theirs[:n] - ours[:n]).max())
+        if torch_block_check:
+            entry["layer0_torch_parity"] = _torch_layer_roundtrip(
+                tree, cfg.dit)
+        report["dit_base"] = entry
+    else:
+        report["dit_base"] = {"status": "absent"}
+
+    eng_path = ckpt_dir / "diffusion" / "1" / "mp_rank_00_model_states.pt"
+    if eng_path.exists():
+        sd = load_torch_file(eng_path)
+        manifest = manifests.engine_ckpt(cfg)
+        report["engine"] = {
+            "status": "ok",
+            "missing_vs_manifest": sorted(set(manifest) - set(sd)),
+            "extra_vs_manifest": sorted(set(sd) - set(manifest)),
+        }
+    else:
+        report["engine"] = {"status": "absent"}
+
+    check("vae", ckpt_dir / "CogVideoX-2b-sat" / "vae" / "3d-vae.pt",
+          lambda sd: convert_vae(sd, cfg.vae.num_res_blocks,
+                                 len(cfg.vae.ch_mult)),
+          manifests.vae_state_dict(cfg.vae), ignored=("loss.",))
+    return report
+
+
+def _torch_layer_roundtrip(tree, dit_cfg, atol=5e-3):
+    """Round-trip DiT layer 0 with REAL converted weights through a torch
+    transcription of the SAT layer (same math as
+    tests/test_torch_parity_blocks.py) and report the max abs diff."""
+    try:
+        import jax.numpy as jnp
+        from tests.test_torch_parity_blocks import sat_adaln_layer_torch, t64
+        from landiff_tpu.models import dit as dit_lib
+    except Exception as e:   # torch or test module unavailable
+        return f"skipped ({e})"
+    import numpy as np
+
+    p = tree["layers"][0]
+    rng = np.random.default_rng(0)
+    B, S = 1, dit_cfg.text_length + 8
+    x = rng.standard_normal((B, S, dit_cfg.hidden_size)) * 0.5
+    emb = rng.standard_normal((B, dit_cfg.time_embed_dim))
+    got = np.asarray(dit_lib._layer(
+        {k: jnp.asarray(v) for k, v in p.items()},
+        jnp.asarray(x, jnp.float32), jnp.asarray(emb, jnp.float32),
+        dit_cfg, "xla"))
+    want = sat_adaln_layer_torch(p, t64(x), t64(emb), dit_cfg.text_length,
+                                 dit_cfg.num_heads,
+                                 qk_ln=dit_cfg.qk_ln).numpy()
+    return float(np.abs(got - want).max())
+
+
+def main(argv=None):
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(description="LanDiff ckpt converter")
+    ap.add_argument("--verify", metavar="CKPT_DIR",
+                    help="verify a real ckpt tree against the manifests")
+    ap.add_argument("--no-torch-check", action="store_true")
+    args = ap.parse_args(argv)
+    if args.verify:
+        report = verify_ckpt_tree(
+            args.verify, torch_block_check=not args.no_torch_check)
+        print(json.dumps(report, indent=2))
+        bad = [k for k, v in report.items()
+               if v.get("status") == "error"
+               or v.get("unconsumed_unexpected")
+               or v.get("missing_vs_manifest")
+               or v.get("shape_mismatch")]
+        return 1 if bad else 0
+    ap.print_help()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
