@@ -10,7 +10,10 @@ publishes no timings (BASELINE.md); the estimate assumes the documented
 ~0.36 PFLOP/step at 35% MFU on A100 bf16 (312 TFLOP/s) => ~3.3 s/step.
 
 Env knobs: LANDIFF_BENCH_SCALE (default 1.0 — fraction of full model size),
-LANDIFF_BENCH_ATTN (pallas|xla, default pallas).
+LANDIFF_BENCH_ATTN (pallas|xla, default pallas),
+LANDIFF_BENCH_MODE (single|mesh — mesh validates the TP/DP-sharded step on
+an 8-way virtual CPU mesh and projects the v5e-8 step time from the
+measured single-chip time + a documented ICI collective model).
 """
 
 from __future__ import annotations
@@ -108,5 +111,120 @@ def main():
           f"attn={attn}, devices={jax.devices()}")
 
 
+def bench_mesh():
+    """v5e-8 projection mode.
+
+    1. Correctness: run the full CFG control-warp denoise step unsharded
+       vs sharded over a data=2 x model=4 mesh (8 virtual CPU devices,
+       scaled model) and assert allclose — the real TP/DP shardings, the
+       same mesh shape as the v5e-8 target.
+    2. Projection: measured single-chip step time (LANDIFF_BENCH_SINGLE_MS,
+       default = the recorded r2 single-chip bench) scaled by 1/8 compute +
+       a ring-all-reduce ICI model:
+         per Megatron TP layer: 2 all-reduces of the (B_local, S, D) bf16
+         activations over model=4; cost = 2*(n-1)/n * bytes / BW_ici with
+         BW_ici ~ 90 GB/s effective (2D-torus ring, both directions).
+       This is an ESTIMATE (no multi-chip hardware in this environment);
+       overlap of collectives with compute would only improve it.
+    """
+    import subprocess
+    import sys
+
+    if os.environ.get("JAX_PLATFORMS") != "cpu":
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        flags = [f for f in env.get("XLA_FLAGS", "").split()
+                 if "host_platform_device_count" not in f]
+        env["XLA_FLAGS"] = " ".join(
+            flags + ["--xla_force_host_platform_device_count=8"])
+        env["PYTHONPATH"] = ":".join(
+            [os.path.dirname(os.path.abspath(__file__))]
+            + [p for p in env.get("PYTHONPATH", "").split(":")
+               if p and "axon" not in p])
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.config.update('jax_platforms','cpu'); "
+             "import bench; bench.bench_mesh()"],
+            env=env, capture_output=True, text=True, timeout=1800)
+        sys.stdout.write(r.stdout)
+        assert r.returncode == 0, r.stderr[-3000:]
+        return
+
+    import numpy as np
+
+    from landiff_tpu.config import DiTConfig, MeshConfig
+    from landiff_tpu.models import dit as dit_lib
+    from landiff_tpu.parallel import mesh as mesh_lib
+
+    devices = jax.devices()
+    assert len(devices) >= 8, devices
+    # scaled model for the CPU correctness check (num_heads kept divisible
+    # by model=4)
+    cfg = DiTConfig(num_layers=2, control_layers=1, hidden_size=256,
+                    num_heads=4, time_embed_dim=64, latent_frames=2,
+                    latent_height=16, latent_width=16, text_length=8)
+    key = jax.random.PRNGKey(0)
+    main_p = dit_lib.init(key, cfg)
+    ctrl_p = dit_lib.init(jax.random.PRNGKey(1), cfg, control=True)
+    B = 2  # CFG rows -> data axis
+    x = jax.random.normal(jax.random.PRNGKey(2),
+                          (B, cfg.latent_frames, cfg.in_channels,
+                           cfg.latent_height, cfg.latent_width))
+    ts = jnp.full((B,), 999.0, jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(3),
+                            (B, cfg.text_length, cfg.text_dim))
+    sem = jnp.zeros_like(x)
+
+    def step(mp, cp, x, ts, ctx, sem):
+        return dit_lib.control_warp_forward(mp, cp, x, ts, ctx, cfg, sem,
+                                            attn_impl="xla",
+                                            compute_dtype=jnp.float32)
+
+    want = step(main_p, ctrl_p, x, ts, ctx, sem)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = mesh_lib.make_mesh(MeshConfig(data=2, model=4), devices[:8])
+    mp = mesh_lib.shard_params(main_p, mesh, mesh_lib.DIT_RULES)
+    cp = mesh_lib.shard_params(ctrl_p, mesh, mesh_lib.DIT_RULES)
+    bsh = NamedSharding(mesh, P("data"))
+    xs = jax.device_put(x, bsh)
+    ctxs = jax.device_put(ctx, bsh)
+    sems = jax.device_put(sem, bsh)
+    with mesh:
+        got = jax.jit(step)(mp, cp, xs, ts, ctxs, sems)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    # ---- projection (full-size shapes) ----
+    full = DiTConfig()
+    single_ms = float(os.environ.get("LANDIFF_BENCH_SINGLE_MS", "4742.3"))
+    n_chips, tp = 8, 4
+    S = full.text_length + full.latent_frames \
+        * (full.latent_height // full.patch_size) \
+        * (full.latent_width // full.patch_size)
+    b_local = 2 // 2  # CFG rows over data=2
+    bytes_ar = b_local * S * full.hidden_size * 2  # bf16 activations
+    bw = 90e9  # effective ring all-reduce BW per chip (both ICI dirs)
+    layers = full.num_layers + full.control_layers
+    ar_ms = 2 * (tp - 1) / tp * bytes_ar / bw * 1e3   # one all-reduce
+    coll_ms = 2 * layers * ar_ms                       # 2 per layer
+    projected = single_ms / n_chips + coll_ms
+    print(json.dumps({
+        "metric": "dit_cfg_denoise_step_ms_projected_v5e8_estbase",
+        "value": round(projected, 1),
+        "unit": "ms",
+        "vs_baseline": round(A100_REF_STEP_MS / projected, 3),
+        "baseline_kind": "estimate_a100_35pct_mfu",
+        "model": {"single_chip_ms": single_ms, "mesh": "data=2 model=4",
+                  "collective_ms": round(coll_ms, 1),
+                  "allreduce_bytes": bytes_ar, "ici_bw_gbps": bw / 1e9},
+        "sharded_numerics": "ok (8-way virtual CPU mesh, rtol 2e-4)",
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("LANDIFF_BENCH_MODE") == "mesh":
+        bench_mesh()
+    else:
+        main()
