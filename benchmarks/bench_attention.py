@@ -1,0 +1,66 @@
+"""Attention kernel microbench at DiT shapes (B=2 CFG, H=30, S=18002,
+D=64) on the real chip: pallas cached-K/V vs streaming vs XLA dense.
+
+Usage: python benchmarks/bench_attention.py [S] [iters]
+"""
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/landiff_jax_cache")
+
+
+def run(S=18002, iters=3):
+    from landiff_tpu.ops import attention as attn
+
+    B, H, D = 2, 30, 64
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (B, S, H, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, H, D), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, H, D), jnp.bfloat16)
+
+    flops = 4 * B * H * S * S * D
+
+    def bench(name, fn):
+        # chain calls on-device; fetch a scalar
+        @jax.jit
+        def chained(q, k, v):
+            def body(_, qc):
+                return fn(qc, k, v).astype(jnp.bfloat16)
+            out = jax.lax.fori_loop(0, 2, body, q)
+            return jnp.sum(out.astype(jnp.float32))
+
+        t0 = time.time()
+        float(np.asarray(chained(q, k, v)))
+        compile_s = time.time() - t0
+        ts = []
+        for _ in range(iters):
+            t = time.time()
+            float(np.asarray(chained(q, k, v)))
+            ts.append((time.time() - t) / 2)
+        ms = sorted(ts)[len(ts) // 2] * 1e3
+        print(f"{name}: {ms:.1f} ms/call ({flops / (ms / 1e3) / 1e12:.1f} "
+              f"TFLOP/s), compile {compile_s:.0f}s", flush=True)
+        return ms
+
+    os.environ["LANDIFF_ATTN_CACHED"] = "1"
+    cached = bench("pallas cached-KV",
+                   lambda q, k, v: attn.flash_attention(q, k, v))
+    os.environ["LANDIFF_ATTN_CACHED"] = "0"
+    stream = bench("pallas streaming",
+                   lambda q, k, v: attn.flash_attention(q, k, v))
+    print(f"# speedup cached vs streaming: {stream / cached:.3f}x")
+    if B * H * S * S * 4 < 8e9:   # dense scores won't fit HBM at DiT size
+        xla = bench("xla dense", lambda q, k, v: attn.mha_reference(q, k, v))
+        print(f"# cached vs xla: {xla / cached:.3f}x")
+
+
+if __name__ == "__main__":
+    S = int(sys.argv[1]) if len(sys.argv) > 1 else 18002
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    run(S, iters)
