@@ -134,7 +134,8 @@ class TheiaConfig:
     num_heads: int = 12
     mlp_ratio: float = 4.0
     layer_norm_eps: float = 1e-6
-    num_register_tokens: int = 0
+    num_register_tokens: int = 0   # DeiTReg variant
+    no_cls: bool = False           # DeiTNoCLS variant
     # LanDiff feature grid: frames resized so features are 30x45 (480x720/16)
     output_grid: tuple[int, int] = (30, 45)
 

@@ -116,24 +116,30 @@ def forward_features(params, images, cfg: TheiaConfig,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     x = x + params["patch_b"].astype(compute_dtype)
     x = x.reshape(B, h * w, -1)
-    cls = jnp.broadcast_to(params["cls"].astype(compute_dtype)[None, None],
-                           (B, 1, x.shape[-1]))
-    # DeiTReg variant (theia_model.py:121-327): N learned register tokens
-    # appended AFTER the patch tokens, with their own learned pos embed
-    # (reg_pos_embed concatenated to the interpolated table, :266-270).
+    # Variants (theia_model.py): DeiTNoCLS (:79-120, 454-543) drops the CLS
+    # token (pos table keeps the CLS row unused); DeiTReg (:121-327,
+    # 545-634) appends N learned register tokens AFTER the patch tokens
+    # with their own learned pos embed (reg_pos_embed concatenated to the
+    # interpolated table, :266-270).
     n_reg = cfg.num_register_tokens
-    parts = [cls, x]
+    no_cls = cfg.no_cls
+    parts = [] if no_cls else [jnp.broadcast_to(
+        params["cls"].astype(compute_dtype)[None, None],
+        (B, 1, x.shape[-1]))]
+    parts.append(x)
     if n_reg:
         reg = jnp.broadcast_to(
             params["reg_token"].astype(compute_dtype)[None],
             (B, n_reg, x.shape[-1]))
         parts.append(reg)
-    x = jnp.concatenate(parts, axis=1)
+    x = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
     src_g = cfg.image_size // P
     if (h, w) == (src_g, src_g):
         pos = np.asarray(params["pos"])
     else:
         pos = interpolate_pos_embed(np.asarray(params["pos"]), h, w)
+    if no_cls:
+        pos = pos[1:]
     pos = jnp.asarray(pos, compute_dtype)
     if n_reg:
         pos = jnp.concatenate(
@@ -143,9 +149,10 @@ def forward_features(params, images, cfg: TheiaConfig,
         x = _vit_block(p, x, cfg)
     x = layer_norm(x, params["ln_f_w"], params["ln_f_b"], cfg.layer_norm_eps)
     # handle_feature_output(..., num_discard_tokens=N) (theia_model.py:23-63):
-    # strip CLS at the front and the register tokens at the end
+    # strip CLS at the front (when present) and register tokens at the end
+    start = 0 if no_cls else 1
     end = x.shape[1] - n_reg
-    return x[:, 1:end].reshape(B, h, w, -1)
+    return x[:, start:end].reshape(B, h, w, -1)
 
 
 def extract(params, frames, cfg: TheiaConfig, output_shape=None,

@@ -29,6 +29,10 @@ from landiff_tpu.ops import masks as masks_lib
 
 NEG_INF = -1e30
 
+# VMEM budget for the K/V-resident kernel variant (out of ~16 MB/core;
+# leaves room for q/o blocks, the f32 s tile, and accumulators)
+_KV_CACHE_VMEM_BUDGET = 9 * 1024 * 1024
+
 
 def mha_reference(q, k, v, mask=None, scale=None, mask_fn=None):
     """Dense attention oracle. q,k,v: (B, S, H, D); mask: bool (.., S_q, S_kv)
@@ -153,6 +157,74 @@ def _flash_kernel(count_ref,     # SMEM (nq,) int32: visible kv-block count
     o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _flash_kernel_cached(count_ref,   # SMEM (nq,) int32
+                         order_ref,   # SMEM (nq, nk) int32
+                         kind_ref,    # SMEM (nq, nk) int32
+                         q_ref,       # VMEM (1, block_q, D)
+                         k_hbm,       # ANY (BH, D, S_kv)
+                         v_hbm,       # ANY (BH, D, S_kv)
+                         o_ref,       # VMEM (1, block_q, D)
+                         k_cache,     # VMEM scratch (D, S_kv)
+                         v_cache,     # VMEM scratch (D, S_kv)
+                         sem,         # DMA semaphores (2,)
+                         *,
+                         mask_fn, scale, block_q, block_kv):
+    """K/V-resident variant: the whole (D, S_kv) K and V for the current
+    batch*head row are DMA'd into VMEM ONCE (at the first q block) and
+    reused by every q block — with grid (BH, nq) iterated row-major
+    ('arbitrary' semantics), this cuts K/V HBM traffic by nq (~36x at DiT
+    shapes, ~10 GB -> ~0.3 GB per attention call). Only valid when
+    2 * D * S_kv * itemsize fits the VMEM budget (checked by the caller)."""
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
+    nkb = count_ref[qi]
+    LOG2E = 1.4426950408889634
+    q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(q_ref.dtype)
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    a0 = jnp.zeros((block_q, q.shape[-1]), jnp.float32)
+
+    @pl.when(qi == 0)
+    def _():
+        ck = pltpu.make_async_copy(k_hbm.at[bh], k_cache, sem.at[0])
+        cv = pltpu.make_async_copy(v_hbm.at[bh], v_cache, sem.at[1])
+        ck.start()
+        cv.start()
+        ck.wait()
+        cv.wait()
+
+    def body(j, carry):
+        m, l, acc = carry
+        kj = order_ref[qi, j]
+        k = k_cache[:, pl.ds(kj * block_kv, block_kv)]   # (D, bkv)
+        v = v_cache[:, pl.ds(kj * block_kv, block_kv)]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (bq, bkv) f32
+        keep = None
+        if mask_fn is not None:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+            tile_mask = mask_fn(rows + qi * block_q, cols + kj * block_kv)
+            full = (kind_ref[qi, j] == 2).astype(jnp.float32)
+            keep = jnp.maximum(tile_mask.astype(jnp.float32), full)
+            s = s * keep + NEG_INF * (1.0 - keep)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp2(m - m_new)
+        p = jnp.exp2(s - m_new)
+        if keep is not None:
+            p = p * keep
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p.astype(v_cache.dtype), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, nkb, body, (m0, l0, a0))
+    out = acc / jnp.maximum(l, 1e-30)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
 def _pad_to(x, length, axis):
     pad = length - x.shape[axis]
     if pad == 0:
@@ -164,12 +236,36 @@ def _pad_to(x, length, axis):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mask_fn", "scale", "block_q", "block_kv", "interpret"))
+    static_argnames=("mask_fn", "scale", "block_q", "block_kv", "interpret",
+                     "cached"))
 def _flash_call(q, k, v, count, order, kind, *, mask_fn, scale, block_q,
-                block_kv, interpret):
+                block_kv, interpret, cached=False):
     BH, Sq, D = q.shape
-    Skv = k.shape[1]
+    Skv = k.shape[2]           # k/v arrive transposed: (BH, D, S_kv)
     nq = Sq // block_q
+    if cached:
+        scratch = [
+            pltpu.VMEM((D, Skv), q.dtype),
+            pltpu.VMEM((D, Skv), v.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        kernel = functools.partial(
+            _flash_kernel_cached, mask_fn=mask_fn, scale=scale,
+            block_q=block_q, block_kv=block_kv)
+        # scratch K/V must persist across the qi sweep of one bh row
+        semantics = ("arbitrary", "arbitrary")
+        bytes_accessed = 2 * BH * (Sq + Skv) * D * q.dtype.itemsize
+    else:
+        scratch = [
+            pltpu.VMEM((2, D, block_kv), q.dtype),
+            pltpu.VMEM((2, D, block_kv), v.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
+        kernel = functools.partial(
+            _flash_kernel, mask_fn=mask_fn, scale=scale, block_q=block_q,
+            block_kv=block_kv)
+        semantics = ("parallel", "parallel")
+        bytes_accessed = 2 * BH * (Sq + 2 * Skv) * D * q.dtype.itemsize
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(BH, nq),
@@ -179,24 +275,17 @@ def _flash_call(q, k, v, count, order, kind, *, mask_fn, scale, block_q,
             pl.BlockSpec(memory_space=pl.ANY),   # V stays in HBM
         ],
         out_specs=pl.BlockSpec((1, block_q, D), lambda bh, qi, *_: (bh, qi, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, D, block_kv), q.dtype),
-            pltpu.VMEM((2, D, block_kv), v.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        scratch_shapes=scratch,
     )
-    kernel = functools.partial(
-        _flash_kernel, mask_fn=mask_fn, scale=scale, block_q=block_q,
-        block_kv=block_kv)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=semantics),
         cost_estimate=pl.CostEstimate(
             flops=4 * BH * Sq * Skv * D,
-            bytes_accessed=2 * BH * (Sq + 2 * Skv) * D * q.dtype.itemsize,
+            bytes_accessed=bytes_accessed,
             transcendentals=BH * Sq * Skv),
         interpret=interpret,
     )(count, order, kind, q, k, v)
@@ -258,10 +347,18 @@ def flash_attention(q, k, v, *, mask_fn=None, scale=None,
     kt = _pad_to(k.transpose(0, 2, 3, 1).reshape(B * H, D, Skv), Skv_p, 2)
     vt = _pad_to(v.transpose(0, 2, 3, 1).reshape(B * H, D, Skv), Skv_p, 2)
 
+    # K/V-resident kernel when a full (D, S_kv) K+V pair fits the VMEM
+    # budget AND there is >1 q block to amortize (cuts K/V HBM refetch nq x)
+    import os
+
+    cache_bytes = 2 * D * Skv_p * q.dtype.itemsize
+    cached = (cache_bytes <= _KV_CACHE_VMEM_BUDGET and nq > 1
+              and os.environ.get("LANDIFF_ATTN_CACHED", "1") != "0")
+
     out = _flash_call(qt, kt, vt, jnp.asarray(count), jnp.asarray(order),
                       jnp.asarray(kind), mask_fn=kern_fn,
                       scale=scale, block_q=block_q, block_kv=block_kv,
-                      interpret=interpret)
+                      interpret=interpret, cached=cached)
     out = out[:, :Sq].reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
     return out
 

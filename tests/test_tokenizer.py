@@ -191,3 +191,24 @@ def test_theia_register_tokens():
     out2 = theia_lib.forward_features(p_reg, img2, reg,
                                       compute_dtype=jnp.float32)
     assert out2.shape == (1, 6, 8, 24)
+
+
+def test_theia_no_cls_variant():
+    """DeiTNoCLS (theia_model.py:79-120, 454-543): no CLS token; pos table
+    CLS row unused; output is the full patch grid with nothing stripped."""
+    cfg = TheiaConfig(image_size=32, patch_size=8, hidden_size=24,
+                      num_layers=2, num_heads=2, mlp_ratio=2.0, no_cls=True)
+    base = TheiaConfig(image_size=32, patch_size=8, hidden_size=24,
+                       num_layers=2, num_heads=2, mlp_ratio=2.0)
+    p = theia_lib.init(jax.random.PRNGKey(0), cfg)
+    img = jnp.asarray(
+        np.random.default_rng(1).integers(0, 255, (2, 32, 32, 3)), jnp.uint8)
+    out = theia_lib.forward_features(p, img, cfg, compute_dtype=jnp.float32)
+    assert out.shape == (2, 4, 4, 24)
+    out_cls = theia_lib.forward_features(p, img, base,
+                                         compute_dtype=jnp.float32)
+    assert not np.allclose(np.asarray(out), np.asarray(out_cls))
+    # interpolated resolution path
+    out2 = theia_lib.forward_features(p, jnp.zeros((1, 48, 64, 3), jnp.uint8),
+                                      cfg, compute_dtype=jnp.float32)
+    assert out2.shape == (1, 6, 8, 24)
