@@ -223,8 +223,29 @@ def bench_mesh():
     }))
 
 
+def bench_e2e():
+    """Full-pipeline mode: delegate to benchmarks/bench_e2e.py (phased
+    subprocesses) and re-emit its final JSON line; per-phase artifact is
+    written to E2E.json."""
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    r = subprocess.run(
+        [sys.executable, os.path.join(here, "benchmarks", "bench_e2e.py")],
+        env=dict(os.environ, PYTHONPATH=":".join(
+            [here] + os.environ.get("PYTHONPATH", "").split(":"))),
+        capture_output=True, text=True)
+    sys.stdout.write(r.stdout)
+    sys.stderr.write(r.stderr[-2000:])
+    assert r.returncode == 0
+
+
 if __name__ == "__main__":
-    if os.environ.get("LANDIFF_BENCH_MODE") == "mesh":
+    mode = os.environ.get("LANDIFF_BENCH_MODE", "single")
+    if mode == "mesh":
         bench_mesh()
+    elif mode == "e2e":
+        bench_e2e()
     else:
         main()

@@ -152,12 +152,21 @@ def main():
         results[name] = rec["seconds"]
         print("#", line)
     total = sum(results.values())
-    print(json.dumps({
+    record = {
         "metric": "e2e_sec_per_video_49f_480p",
         "value": round(total, 2),
         "unit": "s",
         "vs_baseline": None,
-    }))
+        "phases": {k: round(v, 2) for k, v in results.items()},
+    }
+    # driver-consumable per-phase artifact
+    out_path = os.environ.get(
+        "LANDIFF_E2E_JSON",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "E2E.json"))
+    with open(out_path, "w") as f:
+        json.dump(record, f, indent=2)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
