@@ -24,6 +24,12 @@ def main():
     cfg = LLMConfig()
     dt = jnp.bfloat16
     params = lm.init(jax.random.PRNGKey(0), cfg, t5_dim=4096, dtype=dt)
+    if os.environ.get("LANDIFF_DECODE_INT8") == "1":
+        from landiff_tpu.models import gpt as gpt_lib
+
+        params = dict(params)
+        params["gpt"] = gpt_lib.quantize_int8(params["gpt"])
+        print("# int8 weight-only GPT decode", flush=True)
     text_len = int(os.environ.get("LANDIFF_BENCH_TEXT_LEN", "120"))
     prefix_len = 1 + 2 + text_len + 1
     num_frames = int(os.environ.get("LANDIFF_BENCH_FRAMES", "13"))

@@ -51,19 +51,25 @@ class KVCache(NamedTuple):
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
+def _dot(x, w):
+    """x @ w for a plain weight or an int8 weight-only-quantized
+    {"q": int8 (in, out), "s": (out,)} leaf (w ~= q * s; the per-output
+    scale commutes with the matmul, so HBM reads stay int8)."""
+    if isinstance(w, dict):
+        return (x @ w["q"].astype(x.dtype)) * w["s"].astype(x.dtype)
+    return x @ w.astype(x.dtype)
+
+
 def _qkv(p, x, cfg: LLMConfig):
     B, S, D = x.shape
-    qkv = x @ p["wqkv"].astype(x.dtype)
+    qkv = _dot(x, p["wqkv"])
     q, k, v = jnp.split(qkv, 3, axis=-1)
     shp = (B, S, cfg.num_heads, cfg.head_dim)
     return q.reshape(shp), k.reshape(shp), v.reshape(shp)
 
 
 def _mlp(p, x):
-    w1 = p["w1"].astype(x.dtype)
-    w2 = p["w2"].astype(x.dtype)
-    w3 = p["w3"].astype(x.dtype)
-    return (gelu_tanh(x @ w1) * (x @ w3)) @ w2
+    return _dot(gelu_tanh(_dot(x, p["w1"])) * _dot(x, p["w3"]), p["w2"])
 
 
 def block_forward(p, x, cos, sin, cfg: LLMConfig, attn_impl="auto"):
@@ -72,7 +78,7 @@ def block_forward(p, x, cos, sin, cfg: LLMConfig, attn_impl="auto"):
     q, k, v = _qkv(p, h, cfg)
     q, k = apply_rope(q, cos[None], sin[None]), apply_rope(k, cos[None], sin[None])
     attn = attention(q, k, v, mask_fn=masks_lib.causal, impl=attn_impl)
-    attn = attn.reshape(x.shape) @ p["wo"].astype(x.dtype)
+    attn = _dot(attn.reshape(x.shape), p["wo"])
     x = x + attn
     h = rms_norm(x, p["norm1"], cfg.norm_eps)
     return x + _mlp(p, h)
@@ -99,7 +105,7 @@ def block_decode(p, x, cos, sin, k_cache, v_cache, pos, cfg: LLMConfig):
     s = jnp.where(valid, s, -1e30)
     w = jax.nn.softmax(s, axis=-1)
     attn = jnp.einsum("bhqk,bkhd->bqhd", w.astype(v_cache.dtype), v_cache)
-    attn = attn.reshape(B, 1, D).astype(x.dtype) @ p["wo"].astype(x.dtype)
+    attn = _dot(attn.reshape(B, 1, D).astype(x.dtype), p["wo"])
     x = x + attn
     h = rms_norm(x, p["norm1"], cfg.norm_eps)
     return x + _mlp(p, h), k_cache, v_cache
@@ -133,7 +139,7 @@ def prefill(params, features, cache: KVCache, cfg: LLMConfig, cos, sin,
         q = apply_rope(q, cos[None], sin[None])
         k = apply_rope(k, cos[None], sin[None])
         attn = attention(q, k, v, mask_fn=masks_lib.causal, impl="xla")
-        attn = attn.reshape(x.shape) @ p["wo"].astype(x.dtype)
+        attn = _dot(attn.reshape(x.shape), p["wo"])
         x = x + attn
         h = rms_norm(x, p["norm1"], cfg.norm_eps)
         x = x + _mlp(p, h)
@@ -170,6 +176,26 @@ def _head_last(params, x_last):
     x = x_last[:, -1].astype(jnp.float32)
     x = layer_norm(x, params["ln_f"]["w"], params["ln_f"]["b"])
     return x @ params["head"].astype(jnp.float32)
+
+
+def quantize_int8(params):
+    """Weight-only int8 quantization of the block linears (per-output-
+    channel absmax scales). Decode at batch 2 is weights-bandwidth bound
+    (PARITY.md) — int8 halves the HBM bytes per step. Norms, embeddings
+    and the fp32 sampling head are left untouched."""
+    def quant(w):
+        a = jnp.asarray(w, jnp.float32)
+        s = jnp.max(jnp.abs(a), axis=0) / 127.0
+        s = jnp.maximum(s, 1e-8)
+        q = jnp.clip(jnp.round(a / s), -127, 127).astype(jnp.int8)
+        return {"q": q, "s": s.astype(jnp.bfloat16)}
+
+    out = dict(params)
+    out["blocks"] = [
+        {k: (quant(v) if k in ("wqkv", "wo", "w1", "w2", "w3") else v)
+         for k, v in blk.items()}
+        for blk in params["blocks"]]
+    return out
 
 
 def init(key, cfg: LLMConfig, dtype=jnp.float32):

@@ -44,12 +44,22 @@ def _gn(p, name, x, eps=1e-6):
 # causal conv3d with streaming cache
 
 
+# above this many bytes (padded input x taps) the causal conv switches
+# from flat shifted-tap convs to a frame-scan (memory-bounded) schedule
+_CONV3D_TAP_BYTES = 512 * 1024 * 1024
+
+
 def causal_conv3d(p, x, cache, path, updates, stream: bool):
     """x: (B, T, H, W, C). p: {"w": (kt,kh,kw,ci,co), "b"}.
 
     cache: dict or None; cache[path] holds the last (kt-1) PADDED-input
     frames from the previous chunk. `updates` collects new cache entries
-    when stream=True."""
+    when stream=True.
+
+    The temporal contraction is decomposed into kt per-frame 2-D convs
+    summed (out[t] = sum_i conv2d(x[t+i], w[i])): XLA lowers NDHWC depth-3
+    conv3d to a non-MXU path on TPU (~0.1 TFLOP/s measured on v5e), while
+    the per-frame NHWC convs run as implicit GEMM at full MXU rate."""
     w = p["w"]
     kt, kh, kw = w.shape[:3]
     if kt > 1:
@@ -63,10 +73,38 @@ def causal_conv3d(p, x, cache, path, updates, stream: bool):
     if stream and kt > 1:
         updates[path] = xp[:, -(kt - 1):]
     pad_h, pad_w = kh // 2, kw // 2
-    out = jax.lax.conv_general_dilated(
-        xp, w.astype(x.dtype), (1, 1, 1),
-        [(0, 0), (pad_h, pad_h), (pad_w, pad_w)],
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    B, Tp, H, W, C = xp.shape
+    T = x.shape[1]
+
+    def conv2d(frames, wi):
+        return jax.lax.conv_general_dilated(
+            frames, wi.astype(x.dtype), (1, 1),
+            [(pad_h, pad_h), (pad_w, pad_w)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    if kt == 1 or xp.nbytes * kt <= _CONV3D_TAP_BYTES:
+        # flat taps: kt shifted full-length 2-D convs, summed — maximally
+        # parallel but each tap materializes a shifted input copy
+        out = None
+        for i in range(kt):
+            xi = xp[:, i:i + T].reshape(B * T, H, W, C)
+            yi = conv2d(xi, w[i])
+            out = yi if out is None else out + yi
+        out = out.reshape(B, T, *out.shape[1:])
+    else:
+        # large activations: unrolled per-output-frame taps + concatenate.
+        # Peak memory ~= input + output (the flat path's kt shifted
+        # full-length copies OOM a 16 GB chip at 480p; a lax.scan stacks
+        # (T, ...) then needs a transposed copy — also OOM). T per
+        # streaming chunk is small (<= ~9), so the unroll stays modest.
+        frames = []
+        for t in range(T):
+            y = None
+            for i in range(kt):
+                yi = conv2d(xp[:, t + i], w[i])
+                y = yi if y is None else y + yi
+            frames.append(y[:, None])
+        out = jnp.concatenate(frames, axis=1)
     return out + p["b"].astype(x.dtype)
 
 
@@ -241,7 +279,7 @@ def decode_streaming(params, z, cfg: VAEConfig, compute_dtype=jnp.bfloat16,
     480p on a 16GB chip. Output frames are identical through the conv path
     (cache-carried); only per-chunk GroupNorm statistics group differently,
     the same approximation the reference's chunking already makes."""
-    import numpy as np
+    import os
 
     T = z.shape[2]
     outs = []
@@ -252,11 +290,22 @@ def decode_streaming(params, z, cfg: VAEConfig, compute_dtype=jnp.bfloat16,
     while t < T:
         chunks.append((t, min(t + 2, T)))
         t += 2
+    # Chunk OUTPUTS are small (~33 MB each at 480p) — keep them on device
+    # and let dispatch stay async; only intermediates needed the per-chunk
+    # program split. LANDIFF_VAE_HOST_STAGE=1 restores host staging (the
+    # reference's per-chunk .cpu() move, dif_infer.py:269) for machines
+    # where even the outputs must leave HBM.
+    host_stage = os.environ.get("LANDIFF_VAE_HOST_STAGE", "0") == "1"
     for ci, (a, b) in enumerate(chunks):
         last = ci == len(chunks) - 1
         out, cache = _decode_jit(params, z[:, :, a:b], cfg, cache,
                                  not last, compute_dtype)
-        outs.append(np.asarray(out.astype(jnp.float32)))
+        out = out.astype(jnp.float32)
+        if host_stage:
+            import numpy as np
+
+            out = np.asarray(out)
+        outs.append(out)
     return jnp.concatenate([jnp.asarray(o) for o in outs], axis=2)
 
 

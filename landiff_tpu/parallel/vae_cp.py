@@ -51,13 +51,21 @@ def _halo_from_prev(xr, k: int, x0, axis: str):
 
 
 def _conv3d_valid_t(p, x):
-    """conv3d with VALID time (input already has the halo), SAME space."""
+    """conv3d with VALID time (input already has the halo), SAME space.
+    Decomposed into kt per-frame 2-D convs like models/vae.causal_conv3d
+    (the NDHWC depth-3 conv3d lowers to a non-MXU path on TPU)."""
     w = p["w"].astype(x.dtype)
-    kh, kw = w.shape[1], w.shape[2]
-    out = jax.lax.conv_general_dilated(
-        x, w, (1, 1, 1),
-        [(0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)],
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    kt, kh, kw = w.shape[:3]
+    B, Tp, H, W, C = x.shape
+    T = Tp - (kt - 1)
+    out = None
+    for i in range(kt):
+        xi = x[:, i:i + T].reshape(B * T, H, W, C)
+        yi = jax.lax.conv_general_dilated(
+            xi, w[i], (1, 1), [(kh // 2, kh // 2), (kw // 2, kw // 2)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = yi if out is None else out + yi
+    out = out.reshape(B, T, *out.shape[1:])
     return out + p["b"].astype(x.dtype)
 
 

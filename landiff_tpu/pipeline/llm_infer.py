@@ -43,7 +43,21 @@ class ArModelInferWrapper:
                  sample_cfg: ARSampleConfig | None = None,
                  tokenizer_dir: str | None = None,
                  compute_dtype=jnp.bfloat16,
-                 require_real_tokenizer: bool = False):
+                 require_real_tokenizer: bool = False,
+                 int8_decode: bool | None = None):
+        import os
+
+        if int8_decode is None:
+            int8_decode = os.environ.get("LANDIFF_DECODE_INT8") == "1"
+        if int8_decode:
+            # weight-only int8 GPT: decode is weights-bandwidth bound, so
+            # halving HBM bytes/step nearly halves stage-1 latency
+            from landiff_tpu.models import gpt as gpt_lib
+
+            params = dict(params)
+            lm_p = dict(params["lm"])
+            lm_p["gpt"] = gpt_lib.quantize_int8(lm_p["gpt"])
+            params["lm"] = lm_p
         self.params = params
         self.llm_cfg = llm_cfg
         self.t5_cfg = t5_cfg

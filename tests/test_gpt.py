@@ -96,3 +96,49 @@ def test_block_matches_torch_transcription():
     mlp = (torch.nn.functional.gelu(h @ w1, approximate="tanh") * (h @ w3)) @ w2
     want = (xt + mlp).numpy()
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_int8_quantized_decode_close_to_full():
+    """Weight-only int8 decode: per-output-channel absmax quantization
+    keeps single-step logits close to the full-precision path (decode is
+    weights-bandwidth bound — int8 halves HBM bytes per step)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from landiff_tpu.config import tiny_test_config
+    from landiff_tpu.models import gpt
+    from landiff_tpu.ops.rope import rope_1d_table
+
+    cfg = tiny_test_config().llm
+    params = gpt.init(jax.random.PRNGKey(0), cfg)
+    qparams = gpt.quantize_int8(params)
+    assert qparams["blocks"][0]["wqkv"]["q"].dtype == jnp.int8
+    # dequantized weights approximate the originals
+    blk, qblk = params["blocks"][0], qparams["blocks"][0]
+    deq = np.asarray(qblk["wqkv"]["q"], np.float32) \
+        * np.asarray(qblk["wqkv"]["s"], np.float32)
+    err = np.abs(deq - np.asarray(blk["wqkv"])).max()
+    assert err <= np.abs(np.asarray(blk["wqkv"])).max() / 127 + 1e-6
+
+    cos_t, sin_t = rope_1d_table(cfg.rope)
+    S = 7
+    cos = jnp.asarray(cos_t[:S])
+    sin = jnp.asarray(sin_t[:S])
+    feats = jax.random.normal(jax.random.PRNGKey(1),
+                              (1, S, cfg.hidden_size), jnp.float32) * 0.3
+    cache_f = gpt.KVCache.create(cfg, 1, S, jnp.float32)
+    cache_q = gpt.KVCache.create(cfg, 1, S, jnp.float32)
+    lf, cache_f = gpt.prefill(params, feats[:, :-1], cache_f, cfg,
+                              cos[:-1], sin[:-1], compute_dtype=jnp.float32)
+    lq, cache_q = gpt.prefill(qparams, feats[:, :-1], cache_q, cfg,
+                              cos[:-1], sin[:-1], compute_dtype=jnp.float32)
+    lf2, _ = gpt.decode_step(params, feats[:, -1:], cache_f, S - 1, cfg,
+                             cos[-1:], sin[-1:], compute_dtype=jnp.float32)
+    lq2, _ = gpt.decode_step(qparams, feats[:, -1:], cache_q, S - 1, cfg,
+                             cos[-1:], sin[-1:], compute_dtype=jnp.float32)
+    # small model, ~1% quant noise per matmul: logits stay close
+    np.testing.assert_allclose(np.asarray(lq2), np.asarray(lf2),
+                               rtol=0.15, atol=0.05)
+    assert np.corrcoef(np.asarray(lq2).ravel(),
+                       np.asarray(lf2).ravel())[0, 1] > 0.99
