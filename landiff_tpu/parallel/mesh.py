@@ -99,16 +99,35 @@ def spec_for(path: str, rules) -> P:
     return P()
 
 
-def param_specs(params, rules):
-    """Pytree of PartitionSpecs matching `params`."""
+def _fit_spec(spec: P, shape, mesh: Mesh | None) -> P:
+    """Drop sharded axes that don't divide the leaf dim (e.g. vocab 2055
+    over model=4) — those leaves stay replicated on that dim."""
+    if mesh is None or not any(spec):
+        return spec
+    out = []
+    for d, ax in enumerate(spec):
+        if ax is None or d >= len(shape):
+            out.append(None)
+            continue
+        size = np.prod([mesh.shape[a] for a in
+                        (ax if isinstance(ax, tuple) else (ax,))])
+        out.append(ax if shape[d] % size == 0 else None)
+    return P(*out)
+
+
+def param_specs(params, rules, mesh: Mesh | None = None):
+    """Pytree of PartitionSpecs matching `params`. With `mesh` given,
+    specs are divisibility-checked against leaf shapes (non-dividing axes
+    degrade to replicated)."""
     return jax.tree_util.tree_map_with_path(
-        lambda path, _: spec_for(_path_str(path), rules), params)
+        lambda path, x: _fit_spec(spec_for(_path_str(path), rules),
+                                  np.shape(x), mesh), params)
 
 
 def shard_params(params, mesh: Mesh, rules):
     """Place params on the mesh per the rules (device_put with
     NamedSharding)."""
-    specs = param_specs(params, rules)
+    specs = param_specs(params, rules, mesh)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
 

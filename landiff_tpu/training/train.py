@@ -1,0 +1,321 @@
+"""Unified training driver CLI — the training entry point the reference
+does not ship (README.md:29 lists train code as TODO; SURVEY §7 step 10
+"training enablement"). One driver for all three trainable components:
+
+  python -m landiff_tpu.training.train --model dit --data DIR --steps 1000
+  python -m landiff_tpu.training.train --model lm  --data DIR ...
+  python -m landiff_tpu.training.train --model vq  --data DIR ...
+
+  --model dit : stage-2 ControlNet branch (freeze_dit semantics,
+                dit_video_concat.py:1190-1193) via
+                training/diffusion_loss.make_train_step
+  --model lm  : stage-1 GPT teacher forcing (lm_model.py:188-227) via
+                training/lm_train.make_train_step
+  --model vq  : semantic tokenizer VQ (video_titok_vq.py:279-375) via
+                training/vq_train.make_train_step (EMA codebook + LitEma)
+
+TPU-first execution model: ONE jitted SPMD step over a (data, model) mesh —
+params TP-sharded by the regex rules in parallel/mesh.py, the global batch
+DP-sharded over `data`, optimizer state ZeRO-sharded over `data`
+(training/zero.py; XLA inserts the reduce-scatter/all-gather). No process
+groups, no DeepSpeed: sharding constraints on the inputs are the whole
+distribution story. Checkpoint/resume via orbax (training/checkpoint.py),
+metrics as JSONL (observability.MetricsLogger).
+
+Dataset format (data/loader.ShardedNpzDataset — dirs of .npz shards):
+  dit: latents (N,T,C,H,W) f32, context (N,text_len,text_dim) f32,
+       tokens (N,num_semantic) i32
+  lm : t5_feats (N,n_text,t5_dim) f32, codes (N,num_visual) i32
+  vq : features (N,T,h,w,C) f32   (Theia feature maps)
+
+`--synth N` writes a synthetic dataset of N samples first (random tensors
+with the exact production keys/shapes at the active config scale) — the
+smoke path used by tests and for dry-running the full loop on the CPU mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from landiff_tpu.config import LanDiffConfig, MeshConfig, tiny_test_config
+from landiff_tpu.data import loader as data_lib
+from landiff_tpu.observability import MetricsLogger
+from landiff_tpu.parallel import mesh as mesh_lib
+from landiff_tpu.training import checkpoint as ckpt_lib
+from landiff_tpu.training import diffusion_loss, lm_train, vq_train, zero
+
+logger = logging.getLogger("landiff_tpu.train")
+
+
+def parse_mesh(spec: str | None) -> MeshConfig:
+    """'data=2,model=4' -> MeshConfig. None -> all devices on data."""
+    if not spec:
+        return MeshConfig(data=len(jax.devices()), model=1)
+    kv = dict(part.split("=") for part in spec.split(","))
+    return MeshConfig(**{k: int(v) for k, v in kv.items()})
+
+
+def make_optimizer(lr: float, steps: int, *, warmup: int = 100,
+                   weight_decay: float = 1e-4, clip: float = 1.0):
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, min(warmup, max(1, steps // 10)), steps, lr * 0.1)
+    return optax.chain(optax.clip_by_global_norm(clip),
+                       optax.adamw(sched, weight_decay=weight_decay))
+
+
+# ---------------------------------------------------------------------------
+# synthetic datasets (production keys/shapes at the active config scale)
+
+
+def synthesize(model: str, cfg: LanDiffConfig, n: int, out_dir: str,
+               seed: int = 0, shard_size: int = 8):
+    rng = np.random.default_rng(seed)
+    d, t = cfg.dit, cfg.tokenizer
+    if model == "dit":
+        n_sem = t.titok.iframe_latent_tokens + \
+            (t.titok.temporal_size - 1) * t.titok.pframe_latent_tokens
+        data = {
+            "latents": rng.standard_normal(
+                (n, d.latent_frames, d.in_channels, d.latent_height,
+                 d.latent_width), np.float32),
+            "context": rng.standard_normal(
+                (n, d.text_length, d.text_dim), np.float32),
+            "tokens": rng.integers(0, t.vq.codebook_size,
+                                   (n, n_sem), dtype=np.int32),
+        }
+    elif model == "lm":
+        l = cfg.llm
+        sched = _lm_schedule(cfg)
+        data = {
+            "t5_feats": rng.standard_normal((n, 8, cfg.t5.d_model),
+                                            np.float32),
+            "codes": rng.integers(0, l.codebook_size,
+                                  (n, sched.num_visual), dtype=np.int32),
+        }
+    elif model == "vq":
+        data = {
+            "features": rng.standard_normal(
+                (n, t.titok.temporal_size, t.titok.grid_h, t.titok.grid_w,
+                 t.feature_dim), np.float32),
+        }
+    else:
+        raise ValueError(model)
+    return data_lib.write_npz_shards(data, out_dir, shard_size)
+
+
+def _lm_schedule(cfg: LanDiffConfig):
+    from landiff_tpu.models import lm as lm_lib
+
+    # prefix: BOS + 2 micro + n_text + SOI (lm_model.py:188-204)
+    return lm_lib.build_schedule(cfg.llm, 1 + 2 + 8 + 1,
+                                 cfg.llm.frames_per_segment)
+
+
+# ---------------------------------------------------------------------------
+# per-model setup: (init_state, step_fn, batch_fn) triples
+
+
+def _setup_dit(cfg: LanDiffConfig, optimizer, mesh, dtype):
+    from landiff_tpu.models import dit as dit_lib
+    from landiff_tpu.models import semantic_cond as sc_lib
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    main_p = mesh_lib.shard_params(
+        dit_lib.init(k1, cfg.dit, dtype=dtype), mesh, mesh_lib.DIT_RULES)
+    ctrl_p = mesh_lib.shard_params(
+        dit_lib.init(k2, cfg.dit, control=True, dtype=dtype), mesh,
+        mesh_lib.DIT_RULES)
+    sem_p = sc_lib.init(k3, cfg.tokenizer, cfg.semantic_cond, dtype=dtype)
+    opt_state, _ = zero.zero_shard_opt_state(optimizer.init(ctrl_p), mesh)
+    raw = diffusion_loss.make_train_step(
+        optimizer, cfg.dit, cfg.sampler, cfg.tokenizer, cfg.semantic_cond,
+        compute_dtype=dtype)
+    step = jax.jit(raw, donate_argnums=(0, 1))
+    bsh = NamedSharding(mesh, P("data"))
+
+    def run(state, batch, key):
+        ctrl_p, opt_state = state
+        ctrl_p, opt_state, loss = step(
+            ctrl_p, opt_state, main_p, sem_p, batch["latents"],
+            batch["context"], batch["tokens"], key)
+        return (ctrl_p, opt_state), {"loss": loss}
+
+    return (ctrl_p, opt_state), run, bsh
+
+
+def _setup_lm(cfg: LanDiffConfig, optimizer, mesh, dtype):
+    from landiff_tpu.models import lm as lm_lib
+
+    params = mesh_lib.shard_params(
+        lm_lib.init(jax.random.PRNGKey(0), cfg.llm, t5_dim=cfg.t5.d_model,
+                    dtype=dtype),
+        mesh, mesh_lib.GPT_RULES)
+    opt_state, _ = zero.zero_shard_opt_state(optimizer.init(params), mesh)
+    step = lm_train.make_train_step(optimizer, cfg.llm, compute_dtype=dtype)
+    bsh = NamedSharding(mesh, P("data"))
+    micro = {"frames": cfg.llm.frames_per_segment, "motion_score": 0.1}
+
+    def collate(params, batch):
+        # host-side teacher-forcing assembly (prompt embeddings depend on
+        # the current conditioner params); rows are equal-length by
+        # construction (same schedule for every sample)
+        rows = []
+        for t5f, codes in zip(batch["t5_feats"], batch["codes"]):
+            text = lm_lib.text_cond_features(params, jnp.asarray(t5f),
+                                             compute_dtype=jnp.float32)
+            mic = lm_lib.micro_cond_features(params, cfg.llm, micro,
+                                             compute_dtype=jnp.float32)
+            rows.append(lm_train.build_training_batch(
+                params, cfg.llm, text, mic, np.asarray(codes)))
+        feats = jnp.stack([r[0] for r in rows])
+        labels = jnp.stack([r[1] for r in rows])
+        masks = jnp.stack([r[2] for r in rows])
+        return feats, labels, masks
+
+    def run(state, batch, key):
+        params, opt_state = state
+        feats, labels, masks = collate(params, batch)
+        params, opt_state, loss = step(params, opt_state, feats, labels,
+                                       masks)
+        return (params, opt_state), {"loss": loss}
+
+    return (params, opt_state), run, bsh
+
+
+def _setup_vq(cfg: LanDiffConfig, optimizer, mesh, dtype):
+    from landiff_tpu.models import vq as vq_lib
+
+    params = mesh_lib.shard_params(
+        vq_lib.init(jax.random.PRNGKey(0), cfg.tokenizer, with_theia=False),
+        mesh, mesh_lib.TITOK_RULES)
+    opt_state = optimizer.init(params)
+    cb_state = vq_train.init_codebook_state(cfg.tokenizer)
+    step = vq_train.make_train_step(optimizer, cfg.tokenizer,
+                                    compute_dtype=dtype)
+    bsh = NamedSharding(mesh, P("data"))
+
+    def run(state, batch, key):
+        params, opt_state, cb_state, first = state
+        feats = batch["features"]
+        if first:
+            # kmeans codebook init from the first batch
+            _, aux = vq_train.tokenizer_loss(params, feats, cfg.tokenizer)
+            params = dict(params)
+            q = dict(params["quant"])
+            q["codebook"] = vq_train.kmeans_init_codebook(
+                aux["zin"], cfg.tokenizer.vq.codebook_size, key)
+            params["quant"] = q
+        params, opt_state, cb_state, metrics = step(params, opt_state,
+                                                    cb_state, feats, key)
+        return (params, opt_state, cb_state, False), metrics
+
+    return (params, opt_state, cb_state, True), run, bsh
+
+
+SETUPS = {"dit": _setup_dit, "lm": _setup_lm, "vq": _setup_vq}
+
+
+# ---------------------------------------------------------------------------
+
+
+def train(model: str, data_dir: str, *, steps: int = 100,
+          batch_size: int = 2, lr: float = 1e-4, mesh_spec: str | None = None,
+          ckpt_dir: str | None = None, save_every: int = 500,
+          log_every: int = 10, metrics_path: str | None = None,
+          resume: bool = False, tiny: bool = False, seed: int = 0,
+          dtype=jnp.float32):
+    cfg = tiny_test_config() if tiny else LanDiffConfig()
+    mesh = mesh_lib.make_mesh(parse_mesh(mesh_spec))
+    optimizer = make_optimizer(lr, steps)
+    state, run, batch_sharding = SETUPS[model](cfg, optimizer, mesh, dtype)
+    logger.info("mesh %s, %d params leaves", dict(mesh.shape),
+                len(jax.tree_util.tree_leaves(state[0])))
+
+    start = 0
+    if resume and ckpt_dir and Path(ckpt_dir).exists():
+        try:
+            start, restored = ckpt_lib.restore_checkpoint(
+                ckpt_dir, template={"params": state[0],
+                                    "opt_state": state[1]})
+            state = (restored["params"], restored["opt_state"]) + state[2:]
+            start += 1
+        except FileNotFoundError:
+            pass
+
+    ds = data_lib.ShardedNpzDataset(data_dir, batch_size, seed=seed)
+    metrics = MetricsLogger(metrics_path)
+    key = jax.random.PRNGKey(seed)
+
+    def batches():
+        epoch = 0
+        while True:
+            yield from data_lib.prefetch_to_device(
+                ds.iter_epoch(epoch), sharding=batch_sharding)
+            epoch += 1
+
+    it = batches()
+    t0 = time.time()
+    last = {}
+    for i in range(start, steps):
+        key, k_step = jax.random.split(key)
+        state, last = run(state, next(it), k_step)
+        if (i + 1) % log_every == 0 or i + 1 == steps:
+            row = {k: float(np.asarray(v)) for k, v in last.items()}
+            dt = (time.time() - t0) / max(1, i + 1 - start)
+            metrics.log(i + 1, sec_per_step=dt, **row)
+            logger.info("step %d %s (%.3f s/step)", i + 1, row, dt)
+        if ckpt_dir and ((i + 1) % save_every == 0 or i + 1 == steps):
+            ckpt_lib.save_checkpoint(ckpt_dir, i + 1, state[0], state[1])
+    return state, last
+
+
+def main(argv=None):
+    import os
+
+    # make JAX_PLATFORMS effective even where a site hook registers a
+    # plugin backend eagerly (env alone is too late once jax initializes)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    logging.basicConfig(level=logging.INFO)
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--model", choices=sorted(SETUPS), required=True)
+    ap.add_argument("--data", required=True, help=".npz shard dir")
+    ap.add_argument("--synth", type=int, default=0,
+                    help="write N synthetic samples to --data first")
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--batch-size", type=int, default=2)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--mesh", default=None, help="e.g. data=2,model=4")
+    ap.add_argument("--ckpt-dir", default=None)
+    ap.add_argument("--save-every", type=int, default=500)
+    ap.add_argument("--log-every", type=int, default=10)
+    ap.add_argument("--metrics", default=None, help="JSONL path")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--bf16", action="store_true")
+    args = ap.parse_args(argv)
+
+    cfg = tiny_test_config() if args.tiny else LanDiffConfig()
+    if args.synth:
+        synthesize(args.model, cfg, args.synth, args.data, seed=args.seed)
+    train(args.model, args.data, steps=args.steps,
+          batch_size=args.batch_size, lr=args.lr, mesh_spec=args.mesh,
+          ckpt_dir=args.ckpt_dir, save_every=args.save_every,
+          log_every=args.log_every, metrics_path=args.metrics,
+          resume=args.resume, tiny=args.tiny, seed=args.seed,
+          dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+
+
+if __name__ == "__main__":
+    main()
