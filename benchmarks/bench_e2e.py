@@ -50,6 +50,11 @@ def _phase_stage1():
     dt = jnp.bfloat16
     lmp = lm_lib.init(jax.random.PRNGKey(1), cfg.llm, t5_dim=cfg.t5.d_model,
                       dtype=dt)
+    if os.environ.get("LANDIFF_DECODE_INT8") == "1":
+        from landiff_tpu.models import gpt as gpt_lib
+
+        lmp = dict(lmp)
+        lmp["gpt"] = gpt_lib.quantize_int8(lmp["gpt"])
     prefix_len = 1 + 2 + 120 + 1
     sched = lm_lib.build_schedule(cfg.llm, prefix_len, 13)
     rows = jnp.zeros((2, prefix_len, cfg.llm.hidden_size), dt)
@@ -94,6 +99,11 @@ def _phase_diffusion():
         cfg.semantic_cond, ctx, jnp.zeros_like(ctx), codes,
         compute_dtype=dt, attn_impl="pallas")
     chunk = int(os.environ.get("LANDIFF_E2E_CHUNK", "5"))
+    # warm: compile the chunked-scan programs
+    np.asarray(engine.sample_latents(denoise_fn, cfg.sampler, cfg.dit,
+                                     key=jax.random.PRNGKey(5),
+                                     bundle=bundle,
+                                     max_steps_per_call=chunk))
     t0 = time.time()
     latents = engine.sample_latents(denoise_fn, cfg.sampler, cfg.dit,
                                     key=jax.random.PRNGKey(6), bundle=bundle,
@@ -116,10 +126,14 @@ def _phase_vae():
     dt = jnp.bfloat16
     latents = jnp.asarray(np.load(f"{WORK}/latents.npy"))
     vaep = vae_lib.init(jax.random.PRNGKey(7), cfg.vae, dtype=dt)
+    # warm: compile every per-chunk program shape (like the other phases)
+    np.asarray(engine.decode_first_stage(vaep, latents, cfg.vae,
+                                         compute_dtype=dt))
     t0 = time.time()
     video = engine.decode_first_stage(vaep, latents, cfg.vae,
                                       compute_dtype=dt)
-    vid_np = np.asarray(video)
+    video = engine.post_process_video(video)
+    vid_np = np.asarray(engine.video_to_uint8(video))  # production fetch
     dt_s = time.time() - t0
     print(json.dumps({"phase": "vae", "seconds": dt_s,
                       "video": list(vid_np.shape)}))

@@ -152,3 +152,12 @@ def post_process_video(video):
 def pre_process_video(video):
     """[0,1] -> [-1,1] (dif_infer.py:22-34)."""
     return jnp.clip(video * 2.0 - 1.0, -1.0, 1.0)
+
+
+@jax.jit
+def video_to_uint8(video):
+    """[0,1] float video -> uint8 ON DEVICE. The saved file is uint8
+    anyway (utils.py:328-332); converting before the host fetch moves 4x
+    fewer bytes across PCIe/tunnel than fetching f32 (the reference's
+    .cpu() move at dif_infer.py:269 pays the full f32 width)."""
+    return jnp.clip(jnp.round(video * 255.0), 0, 255).astype(jnp.uint8)

@@ -92,19 +92,22 @@ def causal_conv3d(p, x, cache, path, updates, stream: bool):
             out = yi if out is None else out + yi
         out = out.reshape(B, T, *out.shape[1:])
     else:
-        # large activations: unrolled per-output-frame taps + concatenate.
-        # Peak memory ~= input + output (the flat path's kt shifted
-        # full-length copies OOM a 16 GB chip at 480p; a lax.scan stacks
-        # (T, ...) then needs a transposed copy — also OOM). T per
-        # streaming chunk is small (<= ~9), so the unroll stays modest.
-        frames = []
+        # large activations: unrolled per-output-frame taps written into a
+        # preallocated buffer via dynamic_update_slice (in-place under
+        # XLA). Peak memory ~= input + output + one frame; the flat path's
+        # kt shifted full-length copies OOM a 16 GB chip at 480p, a
+        # lax.scan stacks (T, ...) then needs a transposed copy (also
+        # OOM), and a concatenate of per-frame results doubles the output.
+        # T per streaming chunk is small (<= ~9), so the unroll is modest.
+        co = w.shape[4]
+        out = jnp.zeros((B, T, H, W, co), x.dtype)
         for t in range(T):
             y = None
             for i in range(kt):
                 yi = conv2d(xp[:, t + i], w[i])
                 y = yi if y is None else y + yi
-            frames.append(y[:, None])
-        out = jnp.concatenate(frames, axis=1)
+            out = jax.lax.dynamic_update_slice_in_dim(out, y[:, None], t,
+                                                      axis=1)
     return out + p["b"].astype(x.dtype)
 
 
@@ -285,11 +288,15 @@ def decode_streaming(params, z, cfg: VAEConfig, compute_dtype=jnp.bfloat16,
     outs = []
     cache = None
     first = min(first_chunk, T)
+    # tail chunk size: 2 latent frames (8 output frames) like the
+    # reference (dif_infer.py:258-266); 1 halves per-program activations
+    # when 16 GB is tight
+    tail = int(os.environ.get("LANDIFF_VAE_CHUNK", "2"))
     chunks = [(0, first)]
     t = first
     while t < T:
-        chunks.append((t, min(t + 2, T)))
-        t += 2
+        chunks.append((t, min(t + tail, T)))
+        t += tail
     # Chunk OUTPUTS are small (~33 MB each at 480p) — keep them on device
     # and let dispatch stay async; only intermediates needed the per-chunk
     # program split. LANDIFF_VAE_HOST_STAGE=1 restores host staging (the

@@ -107,7 +107,12 @@ class CogModelInferWrapper:
                                           cfg.vae,
                                           compute_dtype=self.compute_dtype)
         video = engine.post_process_video(video)
-        return dataclasses.replace(task, result=np.asarray(video),
+        # fetch as uint8 (4x fewer host-transfer bytes); result keeps the
+        # [0,1] float contract, values quantized to the 1/255 steps the
+        # saved file has anyway
+        vid8 = np.asarray(engine.video_to_uint8(video))
+        return dataclasses.replace(task,
+                                   result=vid8.astype(np.float32) / 255.0,
                                    latent=np.asarray(latents))
 
 
