@@ -198,7 +198,7 @@ def bench_mesh():
 
     # ---- projection (full-size shapes) ----
     full = DiTConfig()
-    single_ms = float(os.environ.get("LANDIFF_BENCH_SINGLE_MS", "4742.3"))
+    single_ms = float(os.environ.get("LANDIFF_BENCH_SINGLE_MS", "4630.0"))
     n_chips, tp = 8, 4
     S = full.text_length + full.latent_frames \
         * (full.latent_height // full.patch_size) \

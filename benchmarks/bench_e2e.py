@@ -166,11 +166,19 @@ def main():
         results[name] = rec["seconds"]
         print("#", line)
     total = sum(results.values())
+    # ESTIMATED single-A100 reference e2e (the reference publishes no
+    # timings, BASELINE.md): diffusion 50 x ~3.3 s (0.36 PFLOP/step at
+    # 35% MFU bf16), stage-1 ~15 s (1,244-step Python loop, weights-
+    # bandwidth + launch overhead), T5 ~1 s, chunked VAE decode + CPU
+    # moves ~15 s => ~196 s.
+    a100_est = {"t5": 1.0, "stage1": 15.0, "diffusion": 165.0, "vae": 15.0}
     record = {
-        "metric": "e2e_sec_per_video_49f_480p",
+        "metric": "e2e_sec_per_video_49f_480p_estbase",
         "value": round(total, 2),
         "unit": "s",
-        "vs_baseline": None,
+        "vs_baseline": round(sum(a100_est.values()) / total, 3),
+        "baseline_kind": "estimate_a100_per_phase",
+        "baseline_phases_est": a100_est,
         "phases": {k: round(v, 2) for k, v in results.items()},
     }
     # driver-consumable per-phase artifact
