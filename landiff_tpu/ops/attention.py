@@ -33,6 +33,33 @@ NEG_INF = -1e30
 # leaves room for q/o blocks, the f32 s tile, and accumulators)
 _KV_CACHE_VMEM_BUDGET = 9 * 1024 * 1024
 
+import os as _os
+
+# bf16 exp2 in the online softmax (opt-in): halves VPU cycles on the
+# tile-sized transcendental; p is in [0,1] and feeds a bf16 matmul anyway
+_EXP_BF16 = _os.environ.get("LANDIFF_ATTN_EXP_BF16") == "1"
+
+
+def _softmax_tile(m, l, s, keep, v_dtype):
+    """One online-softmax tile update (log2-domain s). Returns
+    (m_new, alpha, l_new, p_for_pv)."""
+    m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp2(m - m_new)
+    if _EXP_BF16:
+        p = jnp.exp2((s - m_new).astype(jnp.bfloat16))
+        if keep is not None:
+            p = p * keep.astype(jnp.bfloat16)
+        l_new = l * alpha + jnp.sum(p, axis=-1,
+                                    keepdims=True).astype(jnp.float32)
+        pv = p.astype(v_dtype)
+    else:
+        p = jnp.exp2(s - m_new)
+        if keep is not None:
+            p = p * keep
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = p.astype(v_dtype)
+    return m_new, alpha, l_new, pv
+
 
 def mha_reference(q, k, v, mask=None, scale=None, mask_fn=None):
     """Dense attention oracle. q,k,v: (B, S, H, D); mask: bool (.., S_q, S_kv)
@@ -140,15 +167,11 @@ def _flash_kernel(count_ref,     # SMEM (nq,) int32: visible kv-block count
             full = (kind_ref[qi, j] == 2).astype(jnp.float32)
             keep = jnp.maximum(tile_mask.astype(jnp.float32), full)
             s = s * keep + NEG_INF * (1.0 - keep)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        alpha = jnp.exp2(m - m_new)
-        p = jnp.exp2(s - m_new)
-        if keep is not None:
-            # fully-masked rows must output 0 (flex-attention semantics)
-            p = p * keep
-        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        # fully-masked rows must output 0 (flex-attention semantics):
+        # _softmax_tile re-applies keep to p
+        m_new, alpha, l_new, pv = _softmax_tile(m, l, s, keep, v_buf.dtype)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p.astype(v_buf.dtype), v, (((1,), (1,)), ((), ())),
+            pv, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)        # (bq, D)
         return m_new, l_new, acc_new
 
@@ -209,14 +232,89 @@ def _flash_kernel_cached(count_ref,   # SMEM (nq,) int32
             full = (kind_ref[qi, j] == 2).astype(jnp.float32)
             keep = jnp.maximum(tile_mask.astype(jnp.float32), full)
             s = s * keep + NEG_INF * (1.0 - keep)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        alpha = jnp.exp2(m - m_new)
-        p = jnp.exp2(s - m_new)
-        if keep is not None:
-            p = p * keep
-        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_new, alpha, l_new, pv = _softmax_tile(m, l, s, keep,
+                                                v_cache.dtype)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p.astype(v_cache.dtype), v, (((1,), (1,)), ((), ())),
+            pv, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, nkb, body, (m0, l0, a0))
+    out = acc / jnp.maximum(l, 1e-30)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _flash_kernel_cached_i8(count_ref,   # SMEM (nq,) int32
+                            order_ref,   # SMEM (nq, nk) int32
+                            kind_ref,    # SMEM (nq, nk) int32
+                            q_ref,       # VMEM (1, block_q, D)
+                            k_hbm,       # ANY (BH, D, S_kv) int8
+                            ks_hbm,      # ANY (BH, 1, S_kv) f32 k scales
+                            v_hbm,       # ANY (BH, D, S_kv)
+                            o_ref,       # VMEM (1, block_q, D)
+                            k_cache,     # VMEM scratch (D, S_kv) int8
+                            ks_cache,    # VMEM scratch (1, S_kv) f32
+                            v_cache,     # VMEM scratch (D, S_kv)
+                            sem,         # DMA semaphores (3,)
+                            *,
+                            mask_fn, scale, block_q, block_kv):
+    """int8-scores variant of the K/V-resident kernel: the q @ k^T
+    contraction is head_dim=64 — half the 128-wide MXU K dimension — so
+    bf16 scores run the MXU at half rate (the measured step floor,
+    PARITY.md). int8 MXU throughput is 2x bf16, recovering the factor:
+    K is pre-quantized per kv-position (symmetric absmax over D) outside
+    the kernel, q is quantized per row ONCE per q block in here, and the
+    int32 scores are rescaled by the exact outer product of the two
+    scale vectors before the (unchanged, f32) online softmax. The p @ v
+    matmul stays bf16 (it contracts over S and already runs full rate)."""
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
+    nkb = count_ref[qi]
+    LOG2E = 1.4426950408889634
+    qf = q_ref[0].astype(jnp.float32)                      # (bq, D)
+    sq = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)      # (bq, 1)
+    sq = jnp.maximum(sq, 1e-30) / 127.0
+    q8 = jnp.round(qf / sq).astype(jnp.int8)
+    # fold softmax scale and the log2-domain factor into the q scales
+    sq = sq * (scale * LOG2E)
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    a0 = jnp.zeros((block_q, qf.shape[-1]), jnp.float32)
+
+    @pl.when(qi == 0)
+    def _():
+        ck = pltpu.make_async_copy(k_hbm.at[bh], k_cache, sem.at[0])
+        cs = pltpu.make_async_copy(ks_hbm.at[bh], ks_cache, sem.at[1])
+        cv = pltpu.make_async_copy(v_hbm.at[bh], v_cache, sem.at[2])
+        ck.start()
+        cs.start()
+        cv.start()
+        ck.wait()
+        cs.wait()
+        cv.wait()
+
+    def body(j, carry):
+        m, l, acc = carry
+        kj = order_ref[qi, j]
+        k = k_cache[:, pl.ds(kj * block_kv, block_kv)]     # (D, bkv) int8
+        sk = ks_cache[0, pl.ds(kj * block_kv, block_kv)]   # (bkv,) f32
+        v = v_cache[:, pl.ds(kj * block_kv, block_kv)]
+        s32 = jax.lax.dot_general(
+            q8, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)              # (bq, bkv) i32
+        s = s32.astype(jnp.float32) * sq * sk[None, :]     # log2 units
+        keep = None
+        if mask_fn is not None:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+            tile_mask = mask_fn(rows + qi * block_q, cols + kj * block_kv)
+            full = (kind_ref[qi, j] == 2).astype(jnp.float32)
+            keep = jnp.maximum(tile_mask.astype(jnp.float32), full)
+            s = s * keep + NEG_INF * (1.0 - keep)
+        m_new, alpha, l_new, pv = _softmax_tile(m, l, s, keep,
+                                                v_cache.dtype)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            pv, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         return m_new, l_new, acc_new
 
@@ -237,12 +335,46 @@ def _pad_to(x, length, axis):
 @functools.partial(
     jax.jit,
     static_argnames=("mask_fn", "scale", "block_q", "block_kv", "interpret",
-                     "cached"))
-def _flash_call(q, k, v, count, order, kind, *, mask_fn, scale, block_q,
-                block_kv, interpret, cached=False):
+                     "cached", "int8_scores"))
+def _flash_call(q, k, v, count, order, kind, k_scales=None, *, mask_fn,
+                scale, block_q, block_kv, interpret, cached=False,
+                int8_scores=False):
     BH, Sq, D = q.shape
     Skv = k.shape[2]           # k/v arrive transposed: (BH, D, S_kv)
     nq = Sq // block_q
+    if int8_scores:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(BH, nq),
+            in_specs=[
+                pl.BlockSpec((1, block_q, D), lambda bh, qi, *_: (bh, qi, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),   # K int8 in HBM
+                pl.BlockSpec(memory_space=pl.ANY),   # K scales in HBM
+                pl.BlockSpec(memory_space=pl.ANY),   # V in HBM
+            ],
+            out_specs=pl.BlockSpec((1, block_q, D),
+                                   lambda bh, qi, *_: (bh, qi, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((D, Skv), jnp.int8),
+                pltpu.VMEM((1, Skv), jnp.float32),
+                pltpu.VMEM((D, Skv), v.dtype),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_flash_kernel_cached_i8, mask_fn=mask_fn,
+                              scale=scale, block_q=block_q,
+                              block_kv=block_kv),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * BH * Sq * Skv * D,
+                bytes_accessed=BH * (4 * Sq * D + Skv * (3 * D + 4)),
+                transcendentals=BH * Sq * Skv),
+            interpret=interpret,
+        )(count, order, kind, q, k, k_scales, v)
     if cached:
         scratch = [
             pltpu.VMEM((D, Skv), q.dtype),
@@ -293,7 +425,8 @@ def _flash_call(q, k, v, count, order, kind, *, mask_fn, scale, block_q,
 
 def flash_attention(q, k, v, *, mask_fn=None, scale=None,
                     block_q: int = 512, block_kv: int = 1024,
-                    interpret: bool | None = None):
+                    interpret: bool | None = None,
+                    int8_scores: bool | None = None):
     """Flash attention with optional structured mask.
 
     Args:
@@ -351,9 +484,24 @@ def flash_attention(q, k, v, *, mask_fn=None, scale=None,
     # budget AND there is >1 q block to amortize (cuts K/V HBM refetch nq x)
     import os
 
+    if int8_scores is None:
+        int8_scores = os.environ.get("LANDIFF_ATTN_INT8") == "1"
     cache_bytes = 2 * D * Skv_p * q.dtype.itemsize
     cached = (cache_bytes <= _KV_CACHE_VMEM_BUDGET and nq > 1
               and os.environ.get("LANDIFF_ATTN_CACHED", "1") != "0")
+    if int8_scores and cached:
+        # symmetric per-kv-position absmax quantization of K (over D)
+        sk = jnp.max(jnp.abs(kt.astype(jnp.float32)), axis=1,
+                     keepdims=True)                    # (BH, 1, Skv)
+        sk = jnp.maximum(sk, 1e-30) / 127.0
+        k8 = jnp.round(kt.astype(jnp.float32) / sk).astype(jnp.int8)
+        out = _flash_call(qt, k8, vt, jnp.asarray(count),
+                          jnp.asarray(order), jnp.asarray(kind), sk,
+                          mask_fn=kern_fn, scale=scale, block_q=block_q,
+                          block_kv=block_kv, interpret=interpret,
+                          int8_scores=True)
+        out = out[:, :Sq].reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
+        return out
 
     out = _flash_call(qt, kt, vt, jnp.asarray(count), jnp.asarray(order),
                       jnp.asarray(kind), mask_fn=kern_fn,

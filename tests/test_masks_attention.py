@@ -128,3 +128,28 @@ def test_fully_masked_rows_are_zero():
                             block_q=16, block_kv=16, interpret=True)
     assert not np.isnan(np.asarray(got)).any()
     np.testing.assert_allclose(np.asarray(got)[0, L.seq_len:], 0.0, atol=0)
+
+
+def test_flash_int8_scores_close_to_reference():
+    """Opt-in int8-scores kernel (LANDIFF_ATTN_INT8): per-row q / per-kv-
+    position k absmax quantization keeps outputs close to the f32 oracle
+    (the quantization only perturbs pre-softmax logits ~1%). The d=64
+    scores matmul is the measured single-chip step floor (PARITY.md);
+    int8 doubles the MXU rate there."""
+    B, S, H, D = 2, 64, 2, 16
+    q, k, v = _rand_qkv(jax.random.PRNGKey(3), B, S, H, D)
+    want = np.asarray(A.mha_reference(q, k, v), np.float32)
+    got = np.asarray(A.flash_attention(q, k, v, block_q=16, block_kv=16,
+                                       interpret=True, int8_scores=True),
+                     np.float32)
+    # int8 logit noise: allow a loose tolerance but demand high agreement
+    np.testing.assert_allclose(got, want, rtol=0.1, atol=0.02)
+    assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.999
+    # masked variant stays correct too
+    want_m = np.asarray(A.mha_reference(q, k, v, mask_fn=M.causal),
+                        np.float32)
+    got_m = np.asarray(A.flash_attention(q, k, v, mask_fn=M.causal,
+                                         block_q=16, block_kv=16,
+                                         interpret=True, int8_scores=True),
+                       np.float32)
+    np.testing.assert_allclose(got_m, want_m, rtol=0.1, atol=0.02)
