@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 from dataclasses import dataclass
 
 import jax
@@ -50,8 +51,6 @@ class CogModelInferWrapper:
                  compute_dtype=jnp.bfloat16, attn_impl="auto",
                  max_steps_per_call: int | None = None,
                  require_real_tokenizer: bool = False):
-        import os
-
         self.params = params
         self.cfg = cfg
         self.compute_dtype = compute_dtype
@@ -66,6 +65,18 @@ class CogModelInferWrapper:
                            max_length=cfg.dit.text_length,
                            padding_side="right",
                            require_real=require_real_tokenizer)
+
+    def offload_diffusion_params(self):
+        """Move the diffusion-side params (main/control/semantic) to host,
+        freeing ~6 GB of HBM before the VAE decode — the reference's
+        model.cpu()/cuda() swap (infer_video.py:83-85). Host pytrees are
+        restaged automatically when the next jitted call receives them."""
+        import numpy as _np
+
+        for k in ("main", "control", "semantic"):
+            if k in self.params:
+                self.params[k] = jax.tree_util.tree_map(
+                    lambda x: _np.asarray(x), self.params[k])
 
     def encode_text(self, prompt: str):
         ids, _ = self.text([prompt], pad_to_max=True)
@@ -103,6 +114,12 @@ class CogModelInferWrapper:
         latents = engine.sample_latents(
             denoise_fn, cfg.sampler, cfg.dit, key=key, bundle=bundle,
             prefix=prefix, max_steps_per_call=self.max_steps_per_call)
+        if os.environ.get("LANDIFF_OFFLOAD") == "1":
+            # single-chip 16 GB: DiT+control+semantic (~6 GB) + VAE caches
+            # + decode activations don't all fit at 480p — swap the
+            # diffusion params to host like the reference's .cpu() move
+            jax.block_until_ready(latents)
+            self.offload_diffusion_params()
         video = engine.decode_first_stage(self.params["vae"], latents,
                                           cfg.vae,
                                           compute_dtype=self.compute_dtype)

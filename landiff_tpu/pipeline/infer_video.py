@@ -94,15 +94,29 @@ def run(prompt: str, output_dir: str = "results", seed: int = 42,
         # reference chunking: 7-latent prefix out of 13 (yaml:213); clamp
         # for small test configs
         prefix_latents = min(7, cfg.dit.latent_frames - 1)
-        video, latents = long_video.generate_long_video(
+        import os
+
+        from landiff_tpu.diffusion import engine as _engine
+
+        latents = long_video.generate_long_video_latents(
             dif.params, cfg, context, jnp.zeros_like(context),
             code_task.result,
             key=jax.random.PRNGKey(seed_from_text(prompt, seed)),
             prefix_latents=prefix_latents,
-            compute_dtype=dif.compute_dtype)
+            compute_dtype=dif.compute_dtype,
+            max_steps_per_call=dif.max_steps_per_call)
+        if os.environ.get("LANDIFF_OFFLOAD") == "1":
+            jax.block_until_ready(latents)
+            dif.offload_diffusion_params()
+        video = _engine.decode_first_stage(dif.params["vae"], latents,
+                                           cfg.vae,
+                                           compute_dtype=dif.compute_dtype)
+        video = _engine.post_process_video(video)
+        vid8 = np.asarray(_engine.video_to_uint8(video))
         video_task = dif_infer.VideoTask(
             save_file_name=f"{stem}.mp4", prompt=prompt, seed=seed, fps=fps,
-            semantic_token=code_task.result, result=np.asarray(video),
+            semantic_token=code_task.result,
+            result=vid8.astype(np.float32) / 255.0,
             latent=np.asarray(latents))
     else:
         video_task = dif(dif_infer.VideoTask(

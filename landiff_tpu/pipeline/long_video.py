@@ -32,7 +32,8 @@ def generate_long_video_latents(params, cfg: LanDiffConfig, context,
                                 key, prefix_latents: int = 7,
                                 sdedit: bool = False,
                                 compute_dtype=jnp.bfloat16,
-                                attn_impl="auto"):
+                                attn_impl="auto",
+                                max_steps_per_call: int | None = None):
     """codes: flat semantic token stream, multiple of tokens-per-segment.
 
     Returns latents (1, T_total, C, H', W') where
@@ -56,14 +57,16 @@ def generate_long_video_latents(params, cfg: LanDiffConfig, context,
             uc_context, tokens, compute_dtype=compute_dtype,
             attn_impl=attn_impl)
         if all_latents is None:
-            latents = engine.sample_latents(denoise_fn, cfg.sampler, cfg.dit,
-                                            key=k_seg, bundle=bundle)
+            latents = engine.sample_latents(
+                denoise_fn, cfg.sampler, cfg.dit, key=k_seg, bundle=bundle,
+                max_steps_per_call=max_steps_per_call)
             all_latents = latents
         else:
             prefix = all_latents[:, -prefix_latents:]
-            latents = engine.sample_latents(denoise_fn, cfg.sampler, cfg.dit,
-                                            key=k_seg, bundle=bundle,
-                                            prefix=prefix, sdedit=sdedit)
+            latents = engine.sample_latents(
+                denoise_fn, cfg.sampler, cfg.dit, key=k_seg, bundle=bundle,
+                prefix=prefix, sdedit=sdedit,
+                max_steps_per_call=max_steps_per_call)
             all_latents = jnp.concatenate(
                 [all_latents, latents[:, prefix_latents:]], axis=1)
         logger.info("segment %d/%d: latents %s", seg + 1, n_seg,
@@ -74,13 +77,15 @@ def generate_long_video_latents(params, cfg: LanDiffConfig, context,
 def generate_long_video(params, cfg: LanDiffConfig, context, uc_context,
                         codes, *, key, prefix_latents: int = 7,
                         sdedit: bool = False, compute_dtype=jnp.bfloat16,
-                        attn_impl="auto"):
+                        attn_impl="auto",
+                        max_steps_per_call: int | None = None):
     """Full long-video path: chunked latents -> one streaming VAE decode ->
     (1, 3, T_rgb, H, W) in [0, 1]."""
     latents = generate_long_video_latents(
         params, cfg, context, uc_context, codes, key=key,
         prefix_latents=prefix_latents, sdedit=sdedit,
-        compute_dtype=compute_dtype, attn_impl=attn_impl)
+        compute_dtype=compute_dtype, attn_impl=attn_impl,
+        max_steps_per_call=max_steps_per_call)
     video = engine.decode_first_stage(params["vae"], latents, cfg.vae,
                                       compute_dtype=compute_dtype)
     return engine.post_process_video(video), latents

@@ -46,3 +46,24 @@ def test_long_video_two_segments():
     assert video.shape[1] == 3
     assert not np.isnan(np.asarray(video)).any()
     assert float(video.min()) >= 0.0 and float(video.max()) <= 1.0
+
+
+def test_long_video_chunked_equals_full():
+    """max_steps_per_call threading: chunked per-segment sampling must be
+    bit-identical to the single-scan path (remote-attached runtimes kill
+    long single executions, so production always chunks)."""
+    key = jax.random.PRNGKey(0)
+    params = dif_infer.init_params(key, CFG)
+    t = CFG.tokenizer.titok
+    codes = np.random.default_rng(1).integers(
+        0, CFG.tokenizer.vq.codebook_size, size=2 * t.latent_tokens)
+    ctx = jnp.zeros((1, CFG.dit.text_length, CFG.dit.text_dim))
+    kw = dict(key=jax.random.PRNGKey(2), prefix_latents=1,
+              compute_dtype=jnp.float32)
+    full = long_video.generate_long_video_latents(
+        params, CFG, ctx, jnp.zeros_like(ctx), codes, **kw)
+    chunked = long_video.generate_long_video_latents(
+        params, CFG, ctx, jnp.zeros_like(ctx), codes,
+        max_steps_per_call=2, **kw)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                               rtol=1e-5, atol=1e-5)
