@@ -244,83 +244,6 @@ def _flash_kernel_cached(count_ref,   # SMEM (nq,) int32
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-def _flash_kernel_cached_pipe(count_ref,   # SMEM (nq,) int32
-                              order_ref,   # SMEM (nq, nk) int32
-                              kind_ref,    # SMEM (nq, nk) int32
-                              q_ref,       # VMEM (1, block_q, D)
-                              k_hbm,       # ANY (BH, D, S_kv)
-                              v_hbm,       # ANY (BH, D, S_kv)
-                              o_ref,       # VMEM (1, block_q, D)
-                              k_cache,     # VMEM scratch (D, S_kv)
-                              v_cache,     # VMEM scratch (D, S_kv)
-                              sem,         # DMA semaphores (2,)
-                              *,
-                              mask_fn, scale, block_q, block_kv):
-    """Software-pipelined K/V-resident variant: the scores matmul of kv
-    tile j+1 is issued BEFORE the online-softmax update of tile j, so the
-    VPU softmax chain (max/exp2/sum, ~1/3 of the measured per-layer time
-    at DiT shapes) can overlap the next tile's MXU work instead of
-    serializing against it. Numerically identical to
-    _flash_kernel_cached (same update order per tile)."""
-    bh = pl.program_id(0)
-    qi = pl.program_id(1)
-    nkb = count_ref[qi]
-    LOG2E = 1.4426950408889634
-    q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(q_ref.dtype)
-    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    a0 = jnp.zeros((block_q, q.shape[-1]), jnp.float32)
-
-    @pl.when(qi == 0)
-    def _():
-        ck = pltpu.make_async_copy(k_hbm.at[bh], k_cache, sem.at[0])
-        cv = pltpu.make_async_copy(v_hbm.at[bh], v_cache, sem.at[1])
-        ck.start()
-        cv.start()
-        ck.wait()
-        cv.wait()
-
-    def scores(j):
-        kj = order_ref[qi, j]
-        k = k_cache[:, pl.ds(kj * block_kv, block_kv)]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        keep = jnp.ones((1, 1), jnp.float32)
-        if mask_fn is not None:
-            rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
-            tile_mask = mask_fn(rows + qi * block_q, cols + kj * block_kv)
-            full = (kind_ref[qi, j] == 2).astype(jnp.float32)
-            keep = jnp.maximum(tile_mask.astype(jnp.float32), full)
-            s = s * keep + NEG_INF * (1.0 - keep)
-        return s, keep
-
-    def body(j, carry):
-        m, l, acc, s_cur, keep_cur = carry
-        # issue the NEXT tile's MXU scores first (no dependency on the
-        # current tile's softmax) so Mosaic can overlap VPU with MXU
-        nxt = jnp.minimum(j + 1, nkb - 1)
-        s_next, keep_next = scores(nxt)
-        kj = order_ref[qi, j]
-        v = v_cache[:, pl.ds(kj * block_kv, block_kv)]
-        keep = keep_cur if mask_fn is not None else None
-        m_new, alpha, l_new, pv = _softmax_tile(m, l, s_cur, keep,
-                                                v_cache.dtype)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            pv, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return m_new, l_new, acc_new, s_next, keep_next
-
-    # nkb == 0 leaves l = 0 -> out = 0 (same as the non-pipelined kernels);
-    # the prologue scores(0) then reads kv block 0 but its result is unused
-    s0, keep0 = scores(0)
-    m, l, acc, _, _ = jax.lax.fori_loop(
-        0, nkb, body, (m0, l0, a0, s0, keep0))
-    out = acc / jnp.maximum(l, 1e-30)
-    o_ref[0] = out.astype(o_ref.dtype)
-
-
 def _flash_kernel_cached_i8(count_ref,   # SMEM (nq,) int32
                             order_ref,   # SMEM (nq, nk) int32
                             kind_ref,    # SMEM (nq, nk) int32
@@ -412,10 +335,10 @@ def _pad_to(x, length, axis):
 @functools.partial(
     jax.jit,
     static_argnames=("mask_fn", "scale", "block_q", "block_kv", "interpret",
-                     "cached", "int8_scores", "pipelined"))
+                     "cached", "int8_scores"))
 def _flash_call(q, k, v, count, order, kind, k_scales=None, *, mask_fn,
                 scale, block_q, block_kv, interpret, cached=False,
-                int8_scores=False, pipelined=False):
+                int8_scores=False):
     BH, Sq, D = q.shape
     Skv = k.shape[2]           # k/v arrive transposed: (BH, D, S_kv)
     nq = Sq // block_q
@@ -459,8 +382,7 @@ def _flash_call(q, k, v, count, order, kind, k_scales=None, *, mask_fn,
             pltpu.SemaphoreType.DMA((2,)),
         ]
         kernel = functools.partial(
-            _flash_kernel_cached_pipe if pipelined else _flash_kernel_cached,
-            mask_fn=mask_fn, scale=scale,
+            _flash_kernel_cached, mask_fn=mask_fn, scale=scale,
             block_q=block_q, block_kv=block_kv)
         # scratch K/V must persist across the qi sweep of one bh row
         semantics = ("arbitrary", "arbitrary")
@@ -581,13 +503,10 @@ def flash_attention(q, k, v, *, mask_fn=None, scale=None,
         out = out[:, :Sq].reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
         return out
 
-    pipelined = (cached
-                 and os.environ.get("LANDIFF_ATTN_PIPE", "0") == "1")
     out = _flash_call(qt, kt, vt, jnp.asarray(count), jnp.asarray(order),
                       jnp.asarray(kind), mask_fn=kern_fn,
                       scale=scale, block_q=block_q, block_kv=block_kv,
-                      interpret=interpret, cached=cached,
-                      pipelined=pipelined)
+                      interpret=interpret, cached=cached)
     out = out[:, :Sq].reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
     return out
 
