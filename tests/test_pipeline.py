@@ -58,3 +58,44 @@ def test_tiny_pipeline_long_video(tmp_path):
     # latent frames: 13-tiny=3 -> 3 + (3 - 7?) prefix default 7 > tiny lat
     video = res["video"]
     assert video.shape[1] == 3 and not np.isnan(video).any()
+
+
+def test_video_to_uint8_roundtrip():
+    """Device-side uint8 fetch helper: exact 255-step quantization of the
+    [0,1] video (the saved container is uint8 anyway; 4x fewer host
+    transfer bytes)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from landiff_tpu.diffusion import engine
+
+    v = jnp.asarray([[0.0, 0.5, 1.0, 0.999, -0.1, 1.1]])
+    got = np.asarray(engine.video_to_uint8(v))
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, [[0, 128, 255, 255, 0, 255]])
+
+
+def test_offload_diffusion_params_moves_to_host(tmp_path):
+    """offload_diffusion_params converts main/control/semantic leaves to
+    numpy (freeing HBM) and the wrapper still works afterwards (host
+    pytrees restage automatically on the next jitted call)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from landiff_tpu.config import tiny_test_config
+    from landiff_tpu.pipeline import dif_infer
+
+    cfg = tiny_test_config()
+    params = dif_infer.init_params(jax.random.PRNGKey(0), cfg,
+                                   dtype=jnp.float32)
+    w = dif_infer.CogModelInferWrapper(params, cfg,
+                                       compute_dtype=jnp.float32)
+    w.offload_diffusion_params()
+    leaves = jax.tree_util.tree_leaves(w.params["main"])
+    assert all(isinstance(x, np.ndarray) for x in leaves)
+    task = w(dif_infer.VideoTask(save_file_name="x.mp4", prompt="p",
+                                 seed=0, semantic_token=np.zeros(
+                                     cfg.tokenizer.titok.latent_tokens,
+                                     np.int32)))
+    assert task.result is not None and np.isfinite(task.result).all()
