@@ -1,0 +1,135 @@
+"""Training-data preparation: raw clips -> Theia features -> semantic
+codes -> .npz shards for the training driver.
+
+This is the production token-production path (SURVEY §3.2, reference
+llm/modules/tokenizer.py:90-102 encode_codes over 13-frame segments),
+run offline over a clip directory:
+
+  python -m landiff_tpu.data.prepare --clips DIR --out DIR \
+      [--model vq|lm] [--tiny] [--shard-size 8]
+
+Clip formats (no ffmpeg needed on minimal images):
+  * <clips>/<name>.npy        — (T, H, W, 3) uint8 array
+  * <clips>/<name>/*.png|jpg  — directory of frames (sorted)
+Captions (for --model lm): <clips>/captions.json {name: caption}; the
+caption text rides along in the shard (string array) so stage-1 training
+can encode it with its own T5.
+
+Outputs (keys match training/train.py's dataset contract):
+  vq: features (N, T_seg, gh, gw, C) f32     — tokenizer training
+  lm: codes (N, latent_tokens) i32, caption (N,) str — stage-1 training
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger("landiff_tpu.prepare")
+
+
+def load_clip(path: Path) -> np.ndarray:
+    """-> (T, H, W, 3) uint8."""
+    if path.suffix == ".npy":
+        arr = np.load(path)
+    elif path.is_dir():
+        from PIL import Image
+
+        frames = sorted(p for p in path.iterdir()
+                        if p.suffix.lower() in (".png", ".jpg", ".jpeg"))
+        arr = np.stack([np.asarray(Image.open(f).convert("RGB"))
+                        for f in frames])
+    else:
+        raise ValueError(f"unsupported clip {path}")
+    assert arr.ndim == 4 and arr.shape[-1] == 3, arr.shape
+    return arr.astype(np.uint8)
+
+
+def iter_clips(root: Path):
+    for p in sorted(root.iterdir()):
+        if p.name == "captions.json":
+            continue
+        if p.suffix == ".npy" or p.is_dir():
+            yield p.stem, load_clip(p)
+
+
+def segment(video: np.ndarray, seg_len: int, stride: int):
+    """Full segments only (reference drops the ragged tail implicitly by
+    requiring T % segment == 0 at inference; for training we drop it)."""
+    T = video.shape[0]
+    for off in range(0, T - seg_len + 1, stride):
+        yield video[off:off + seg_len]
+
+
+def prepare(clips_dir: str, out_dir: str, *, model: str = "vq",
+            tiny: bool = False, shard_size: int = 8,
+            compute_dtype=jnp.bfloat16):
+    from landiff_tpu.config import LanDiffConfig, tiny_test_config
+    from landiff_tpu.data.loader import write_npz_shards
+    from landiff_tpu.models import vq as vq_lib
+
+    cfg = (tiny_test_config() if tiny else LanDiffConfig()).tokenizer
+    params = vq_lib.init(jax.random.PRNGKey(0), cfg, dtype=compute_dtype)
+    # TODO(weights): swap in converted real tokenizer params via ckpt/load
+    # when a checkpoint tree is available; random-init here still exercises
+    # the full production path for smoke/scale testing.
+
+    feats_fn = jax.jit(lambda v: vq_lib.extract_features(
+        params, v, cfg, compute_dtype=compute_dtype))
+    codes_fn = jax.jit(lambda f: vq_lib.encode_features_to_index(
+        params, f, cfg, compute_dtype=compute_dtype)[1])
+
+    captions = {}
+    cap_file = Path(clips_dir) / "captions.json"
+    if cap_file.exists():
+        captions = json.loads(cap_file.read_text())
+
+    rows_feats, rows_codes, rows_caption = [], [], []
+    for name, video in iter_clips(Path(clips_dir)):
+        for seg in segment(video, cfg.segment_length, cfg.segment_stride):
+            feats = feats_fn(jnp.asarray(seg)[None])       # (1,T,gh,gw,C)
+            if model == "vq":
+                rows_feats.append(np.asarray(feats[0], np.float32))
+            else:
+                codes = codes_fn(feats)                    # (1, L)
+                rows_codes.append(np.asarray(codes[0], np.int32))
+                rows_caption.append(captions.get(name, ""))
+        logger.info("clip %s: %d frames", name, video.shape[0])
+
+    if model == "vq":
+        data = {"features": np.stack(rows_feats)}
+    else:
+        data = {"codes": np.stack(rows_codes),
+                "caption": np.asarray(rows_caption)}
+    shards = write_npz_shards(data, out_dir, shard_size)
+    n = len(next(iter(data.values())))
+    logger.info("wrote %d segments into %d shards under %s", n,
+                len(shards), out_dir)
+    return shards
+
+
+def main(argv=None):
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    logging.basicConfig(level=logging.INFO)
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--clips", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--model", choices=("vq", "lm"), default="vq")
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--shard-size", type=int, default=8)
+    args = ap.parse_args(argv)
+    prepare(args.clips, args.out, model=args.model, tiny=args.tiny,
+            shard_size=args.shard_size)
+
+
+if __name__ == "__main__":
+    main()
