@@ -16,8 +16,12 @@ caption text rides along in the shard (string array) so stage-1 training
 can encode it with its own T5.
 
 Outputs (keys match training/train.py's dataset contract):
-  vq: features (N, T_seg, gh, gw, C) f32     — tokenizer training
-  lm: codes (N, latent_tokens) i32, caption (N,) str — stage-1 training
+  vq:  features (N, T_seg, gh, gw, C) f32    — tokenizer training
+  lm:  codes (N, latent_tokens) i32, caption (N,) str — stage-1 training
+  dit: latents (N, T', C, H', W') f32 (VAE encode, scale_factor applied),
+       context (N, text_len, text_dim) f32 (frozen T5 — precomputing at
+       prep time is the natural design since T5 never trains),
+       tokens (N, latent_tokens) i32        — stage-2 ControlNet training
 """
 
 from __future__ import annotations
@@ -74,7 +78,8 @@ def prepare(clips_dir: str, out_dir: str, *, model: str = "vq",
     from landiff_tpu.data.loader import write_npz_shards
     from landiff_tpu.models import vq as vq_lib
 
-    cfg = (tiny_test_config() if tiny else LanDiffConfig()).tokenizer
+    full_cfg = tiny_test_config() if tiny else LanDiffConfig()
+    cfg = full_cfg.tokenizer
     params = vq_lib.init(jax.random.PRNGKey(0), cfg, dtype=compute_dtype)
     # TODO(weights): swap in converted real tokenizer params via ckpt/load
     # when a checkpoint tree is available; random-init here still exercises
@@ -85,28 +90,77 @@ def prepare(clips_dir: str, out_dir: str, *, model: str = "vq",
     codes_fn = jax.jit(lambda f: vq_lib.encode_features_to_index(
         params, f, cfg, compute_dtype=compute_dtype)[1])
 
+    if model == "dit":
+        from landiff_tpu.diffusion import engine
+        from landiff_tpu.models import t5 as t5_lib
+        from landiff_tpu.models import vae as vae_lib
+        from landiff_tpu.pipeline.text import T5Text
+
+        vae_p = vae_lib.init(jax.random.PRNGKey(1), full_cfg.vae,
+                             dtype=compute_dtype)
+        t5_p = t5_lib.init(jax.random.PRNGKey(2), full_cfg.t5,
+                           dtype=compute_dtype)
+        text = T5Text(full_cfg.t5.model_name or None,
+                      max_length=full_cfg.dit.text_length,
+                      padding_side="right")
+
+        def encode_latents(seg):
+            # (T,H,W,3) uint8 -> [-1,1] (B,3,T,H,W) -> scaled latents
+            v = jnp.asarray(seg, jnp.float32) / 127.5 - 1.0
+            v = v.transpose(3, 0, 1, 2)[None]
+            return engine.encode_first_stage(vae_p, v, full_cfg.vae,
+                                             compute_dtype=compute_dtype)
+
+        def encode_context(caption):
+            ids, _ = text([caption], pad_to_max=True)
+            return t5_lib.encode(t5_p, jnp.asarray(ids), None, full_cfg.t5,
+                                 compute_dtype=compute_dtype)
+
     captions = {}
     cap_file = Path(clips_dir) / "captions.json"
     if cap_file.exists():
         captions = json.loads(cap_file.read_text())
 
-    rows_feats, rows_codes, rows_caption = [], [], []
+    rows: dict[str, list] = {}
+
+    def add(key, value):
+        rows.setdefault(key, []).append(value)
+
+    if model == "dit":
+        # one stage-2 sample = a window of 1 + (latent_frames-1) * 2^lvl
+        # RGB frames (49 at production geometry); the tokenizer sees the
+        # 2^lvl-strided subsample (13 frames) so its token segment aligns
+        # 1:1 with the VAE latent frames (the conditioner decodes tokens
+        # with forward_t = latent_frames, semantic_cond.py)
+        stride_t = 2 ** full_cfg.vae.temporal_compress_level
+        seg_len = 1 + (full_cfg.dit.latent_frames - 1) * stride_t
+        seg_stride = seg_len
+    else:
+        stride_t = 1
+        seg_len = cfg.segment_length
+        seg_stride = cfg.segment_stride
+
     for name, video in iter_clips(Path(clips_dir)):
-        for seg in segment(video, cfg.segment_length, cfg.segment_stride):
-            feats = feats_fn(jnp.asarray(seg)[None])       # (1,T,gh,gw,C)
+        for seg in segment(video, seg_len, seg_stride):
+            tok_frames = seg[::stride_t][:cfg.segment_length]
+            feats = feats_fn(jnp.asarray(tok_frames)[None])  # (1,T,gh,gw,C)
             if model == "vq":
-                rows_feats.append(np.asarray(feats[0], np.float32))
-            else:
-                codes = codes_fn(feats)                    # (1, L)
-                rows_codes.append(np.asarray(codes[0], np.int32))
-                rows_caption.append(captions.get(name, ""))
+                add("features", np.asarray(feats[0], np.float32))
+                continue
+            codes = codes_fn(feats)                        # (1, L)
+            if model == "lm":
+                add("codes", np.asarray(codes[0], np.int32))
+                add("caption", captions.get(name, ""))
+            else:                                          # dit
+                add("tokens", np.asarray(codes[0], np.int32))
+                add("latents", np.asarray(encode_latents(seg)[0],
+                                          np.float32))
+                add("context", np.asarray(
+                    encode_context(captions.get(name, ""))[0], np.float32))
         logger.info("clip %s: %d frames", name, video.shape[0])
 
-    if model == "vq":
-        data = {"features": np.stack(rows_feats)}
-    else:
-        data = {"codes": np.stack(rows_codes),
-                "caption": np.asarray(rows_caption)}
+    data = {k: np.stack(v) if k != "caption" else np.asarray(v)
+            for k, v in rows.items()}
     shards = write_npz_shards(data, out_dir, shard_size)
     n = len(next(iter(data.values())))
     logger.info("wrote %d segments into %d shards under %s", n,
@@ -123,7 +177,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--clips", required=True)
     ap.add_argument("--out", required=True)
-    ap.add_argument("--model", choices=("vq", "lm"), default="vq")
+    ap.add_argument("--model", choices=("vq", "lm", "dit"), default="vq")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--shard-size", type=int, default=8)
     args = ap.parse_args(argv)

@@ -66,8 +66,9 @@ def parse_mesh(spec: str | None) -> MeshConfig:
 
 def make_optimizer(lr: float, steps: int, *, warmup: int = 100,
                    weight_decay: float = 1e-4, clip: float = 1.0):
+    wu = min(warmup, max(1, steps // 10))
     sched = optax.warmup_cosine_decay_schedule(
-        0.0, lr, min(warmup, max(1, steps // 10)), steps, lr * 0.1)
+        0.0, lr, wu, max(steps, wu + 1), lr * 0.1)
     return optax.chain(optax.clip_by_global_norm(clip),
                        optax.adamw(sched, weight_decay=weight_decay))
 

@@ -57,3 +57,40 @@ def test_prepare_vq_and_lm(tmp_path):
     assert batch2["codes"].shape == (3, t.titok.latent_tokens)
     assert batch2["codes"].dtype == np.int32
     assert set(batch2["caption"]) <= {"a cat", "a dog"}
+
+
+def test_prepare_dit_feeds_trainer(tmp_path):
+    """dit prep: 49-frame-window geometry (tiny: 5) -> latents aligned
+    with dit.latent_frames + T5 context + tokens — exactly the dit
+    trainer's dataset contract (one training step runs on the output)."""
+    import json as _json
+
+    cfg = tiny_test_config()
+    d = cfg.dit
+    stride_t = 2 ** cfg.vae.temporal_compress_level
+    window = 1 + (d.latent_frames - 1) * stride_t
+    clips = tmp_path / "clips"
+    clips.mkdir()
+    rng = np.random.default_rng(1)
+    h, w = d.latent_height * 2, d.latent_width * 2   # tiny VAE is /2
+    np.save(clips / "c.npy",
+            rng.integers(0, 256, (window, h, w, 3), dtype=np.uint8))
+    (clips / "captions.json").write_text(_json.dumps({"c": "a bird"}))
+
+    prepare.prepare(str(clips), str(tmp_path / "dit"), model="dit",
+                    tiny=True, shard_size=4)
+    ds = ShardedNpzDataset(tmp_path / "dit", batch_size=1,
+                           drop_remainder=False)
+    batch = next(ds.iter_epoch(0))
+    assert batch["latents"].shape == (1, d.latent_frames, d.in_channels,
+                                      d.latent_height, d.latent_width)
+    assert batch["context"].shape == (1, d.text_length, d.text_dim)
+    assert batch["tokens"].shape == (1, cfg.tokenizer.titok.latent_tokens)
+
+    # the trainer consumes it directly
+    from landiff_tpu.training import train as train_lib
+
+    _, last = train_lib.train("dit", str(tmp_path / "dit"), steps=1,
+                              batch_size=1, mesh_spec="data=1,model=1",
+                              log_every=1, tiny=True)
+    assert np.isfinite(float(np.asarray(last["loss"])))
