@@ -172,7 +172,7 @@ def _embed_inputs(params, x, timesteps, context, cfg: DiTConfig,
 
 def forward(params, x, timesteps, context, cfg: DiTConfig, *,
             control_outputs=None, attn_impl="auto",
-            compute_dtype=jnp.bfloat16):
+            compute_dtype=jnp.bfloat16, remat=False):
     """Main DiT forward.
 
     Args:
@@ -184,8 +184,14 @@ def forward(params, x, timesteps, context, cfg: DiTConfig, *,
     Returns: (B, T, C_out, H, W) v-prediction.
     """
     h, emb = _embed_inputs(params, x, timesteps, context, cfg, compute_dtype)
+    layer_fn = _layer
+    if remat:
+        # gradient checkpointing per layer: a 30L backward at S=17776
+        # holds ~full-sequence activations per layer otherwise and OOMs a
+        # 16 GB chip; remat trades ~1/3 more FLOPs for O(1-layer) memory
+        layer_fn = jax.checkpoint(_layer, static_argnums=(3, 4))
     for i, p in enumerate(params["layers"]):
-        h = _layer(p, h, emb, cfg, attn_impl)
+        h = layer_fn(p, h, emb, cfg, attn_impl)
         if control_outputs is not None and i < len(control_outputs):
             h = h + control_outputs[i].astype(h.dtype)
     h = layer_norm(h, params["final_ln_w"], params["final_ln_b"], 1e-6)
@@ -209,15 +215,17 @@ def forward(params, x, timesteps, context, cfg: DiTConfig, *,
 
 def control_forward(params, x, timesteps, context, cfg: DiTConfig,
                     semantic_feature, *, attn_impl="auto",
-                    compute_dtype=jnp.bfloat16):
+                    compute_dtype=jnp.bfloat16, remat=False):
     """Control branch: x + semantic_feature, run control layers, each layer's
     stream passes through its zero-init linear; returns list of layer
     outputs (full [text|video] sequences)."""
     x = x.astype(compute_dtype) + semantic_feature.astype(compute_dtype)
     h, emb = _embed_inputs(params, x, timesteps, context, cfg, compute_dtype)
+    layer_fn = (jax.checkpoint(_layer, static_argnums=(3, 4)) if remat
+                else _layer)
     outs = []
     for p in params["layers"]:
-        h = _layer(p, h, emb, cfg, attn_impl)
+        h = layer_fn(p, h, emb, cfg, attn_impl)
         h = h @ p["zero_linear_w"].astype(h.dtype)  # bias-free (1210-1218)
         outs.append(h)
     return outs
@@ -225,17 +233,18 @@ def control_forward(params, x, timesteps, context, cfg: DiTConfig,
 
 def control_warp_forward(main_params, control_params, x, timesteps, context,
                          cfg: DiTConfig, semantic_feature, *,
-                         attn_impl="auto", compute_dtype=jnp.bfloat16):
+                         attn_impl="auto", compute_dtype=jnp.bfloat16,
+                         remat=False):
     """ControlDiffWarp.forward (dit_video_concat.py:1196-1200)."""
     import dataclasses
 
     ctrl_cfg = dataclasses.replace(cfg, num_layers=cfg.control_layers)
     ctrl = control_forward(control_params, x, timesteps, context, ctrl_cfg,
                            semantic_feature, attn_impl=attn_impl,
-                           compute_dtype=compute_dtype)
+                           compute_dtype=compute_dtype, remat=remat)
     return forward(main_params, x, timesteps, context, cfg,
                    control_outputs=ctrl, attn_impl=attn_impl,
-                   compute_dtype=compute_dtype)
+                   compute_dtype=compute_dtype, remat=remat)
 
 
 def control_mlp_adapter_forward(params, x, context, cfg: DiTConfig, *,

@@ -42,7 +42,8 @@ def video_diffusion_loss(main_params, control_params, sem_params,
                          tok_cfg: TokenizerConfig,
                          sem_cfg: SemanticCondConfig, *,
                          fixed_frames: int = 0, dp_rank: int = 0,
-                         dp_size: int = 1, compute_dtype=jnp.bfloat16):
+                         dp_size: int = 1, compute_dtype=jnp.bfloat16,
+                         remat: bool = True):
     """v-pred L2 with 1/(1-acp) weighting; prefix frames kept clean and
     excluded from the loss (loss.py:155-172)."""
     B = latents.shape[0]
@@ -66,10 +67,12 @@ def video_diffusion_loss(main_params, control_params, sem_params,
         forward_t=dit_cfg.latent_frames, compute_dtype=compute_dtype)
 
     # DiscreteDenoiser: c_skip=a, c_out=-sqrt(1-a^2), c_in=1, c_noise=idx
+    # remat defaults ON for training: a 30L+15L backward at production
+    # S=17776 cannot hold per-layer activations on a 16 GB chip
     net_out = dit_lib.control_warp_forward(
         main_params, control_params, noised.astype(compute_dtype),
         idx.astype(jnp.float32), context, dit_cfg, sem_feature,
-        compute_dtype=compute_dtype).astype(jnp.float32)
+        compute_dtype=compute_dtype, remat=remat).astype(jnp.float32)
     denoised = net_out * (-jnp.sqrt(1.0 - a ** 2)) + noised * a
 
     w = 1.0 / (1.0 - a ** 2)
@@ -83,7 +86,8 @@ def video_diffusion_loss(main_params, control_params, sem_params,
 
 
 def make_train_step(optimizer, dit_cfg, sampler_cfg, tok_cfg, sem_cfg, *,
-                    fixed_frames: int = 0, compute_dtype=jnp.bfloat16):
+                    fixed_frames: int = 0, compute_dtype=jnp.bfloat16,
+                    remat: bool = True):
     """ControlNet training step: grads w.r.t. the control branch only
     (freeze_dit semantics)."""
 
@@ -92,7 +96,8 @@ def make_train_step(optimizer, dit_cfg, sampler_cfg, tok_cfg, sem_cfg, *,
         return video_diffusion_loss(
             main_params, control_params, sem_params, latents, context,
             tokens, key, dit_cfg, sampler_cfg, tok_cfg, sem_cfg,
-            fixed_frames=fixed_frames, compute_dtype=compute_dtype)
+            fixed_frames=fixed_frames, compute_dtype=compute_dtype,
+            remat=remat)
 
     def train_step(control_params, opt_state, main_params, sem_params,
                    latents, context, tokens, key):

@@ -180,3 +180,40 @@ def test_semantic_cond_visual_path():
     assert out.shape[:2] == (1, T)
     assert out.shape[2] == full.semantic_cond.out_channels
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=0)  # zero conv_out
+
+
+def test_remat_gradients_match():
+    """jax.checkpoint per layer (training memory; a full-size 45-layer
+    backward at S=17776 OOMs 16 GB without it) must not change the loss
+    or its gradients."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from landiff_tpu.config import tiny_test_config
+    from landiff_tpu.models import dit as dit_lib
+
+    cfg = tiny_test_config().dit
+    main_p = dit_lib.init(jax.random.PRNGKey(0), cfg)
+    ctrl_p = dit_lib.init(jax.random.PRNGKey(1), cfg, control=True)
+    x = jax.random.normal(jax.random.PRNGKey(2),
+                          (1, cfg.latent_frames, cfg.in_channels,
+                           cfg.latent_height, cfg.latent_width))
+    ts = jnp.asarray([500.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(3),
+                            (1, cfg.text_length, cfg.text_dim))
+    sem = jax.random.normal(jax.random.PRNGKey(4), x.shape) * 0.1
+
+    def loss(cp, remat):
+        out = dit_lib.control_warp_forward(
+            main_p, cp, x, ts, ctx, cfg, sem, compute_dtype=jnp.float32,
+            remat=remat)
+        return jnp.mean(out ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda cp: loss(cp, False))(ctrl_p)
+    l1, g1 = jax.value_and_grad(lambda cp: loss(cp, True))(ctrl_p)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
