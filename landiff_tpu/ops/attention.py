@@ -79,7 +79,10 @@ def mha_reference(q, k, v, mask=None, scale=None, mask_fn=None):
     if mask is not None:
         # fully-masked rows -> 0 output (flex-attention semantics)
         p = jnp.where(jnp.any(mask, axis=-1, keepdims=True), p, 0.0)
-    p = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+    # floor 1e-6 (not 1e-30): after -max stabilization every non-masked
+    # row has sum >= 1, and 1/sum^2 in the VJP must stay finite in f32
+    # (1e60 overflows -> inf * 0 = NaN for fully-masked rows)
+    p = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-6)
     out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
@@ -511,15 +514,141 @@ def flash_attention(q, k, v, *, mask_fn=None, scale=None,
     return out
 
 
+# ---------------------------------------------------------------------------
+# differentiable wrapper: Pallas forward + chunked flash backward
+#
+# pallas_call has no autodiff rule, and a dense jnp backward would
+# materialize the (S_q, S_kv) score matrix (37 GB at DiT shapes). The
+# backward here is an XLA-level flash backward: a scan over q chunks with
+# an inner scan over kv chunks — logsumexp recompute pass + gradient pass,
+# never holding more than one (bq, bkv) tile of scores. This is what makes
+# attention differentiable at production sequence lengths (training path;
+# the forward stays the Pallas kernel).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_diff(q, k, v, mask_fn, scale):
+    return flash_attention(q, k, v, mask_fn=mask_fn, scale=scale)
+
+
+def _flash_diff_fwd(q, k, v, mask_fn, scale):
+    out = flash_attention(q, k, v, mask_fn=mask_fn, scale=scale)
+    return out, (q, k, v, out)
+
+
+def _flash_diff_bwd(mask_fn, scale, res, do, *, bq=512, bkv=1024):
+    q, k, v, out = res
+    B, Sq, H, D = q.shape
+    Skv = k.shape[1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+    BH = B * H
+    Sqp = masks_lib.round_up(Sq, bq)
+    Skvp = masks_lib.round_up(Skv, bkv)
+    nq, nk = Sqp // bq, Skvp // bkv
+
+    def prep(x, S, Sp):
+        return _pad_to(x.transpose(0, 2, 1, 3).reshape(BH, S, D), Sp, 1)
+
+    qt = prep(q, Sq, Sqp)
+    kt = prep(k, Skv, Skvp).reshape(BH, nk, bkv, D)
+    vt = prep(v, Skv, Skvp).reshape(BH, nk, bkv, D)
+    dot = prep(do.astype(q.dtype), Sq, Sqp).reshape(BH, nq, bq, D)
+    ot = prep(out, Sq, Sqp).reshape(BH, nq, bq, D)
+    qt = qt.reshape(BH, nq, bq, D)
+
+    def keep_tile(qi0, ki0):
+        qi = qi0 + jnp.arange(bq)[:, None]
+        ki = ki0 + jnp.arange(bkv)[None, :]
+        m = ki < Skv
+        if mask_fn is not None:
+            m = jnp.logical_and(m, mask_fn(qi, ki))
+        return m
+
+    def scores(qb, kj):
+        return jnp.einsum("bqd,bkd->bqk", qb, kj,
+                          preferred_element_type=jnp.float32) * scale
+
+    def q_chunk(carry, i):
+        dk, dv = carry
+        qb = jax.lax.dynamic_index_in_dim(qt, i, 1, keepdims=False)
+        dob = jax.lax.dynamic_index_in_dim(dot, i, 1, keepdims=False)
+        ob = jax.lax.dynamic_index_in_dim(ot, i, 1, keepdims=False)
+        Dvec = jnp.sum(dob.astype(jnp.float32) * ob.astype(jnp.float32),
+                       axis=-1)                                # (BH, bq)
+
+        def lse(carry2, j):
+            m, l = carry2
+            kj = jax.lax.dynamic_index_in_dim(kt, j, 1, keepdims=False)
+            s = scores(qb, kj)
+            km = keep_tile(i * bq, j * bkv)
+            s = jnp.where(km[None], s, NEG_INF)
+            m2 = jnp.maximum(m, jnp.max(s, axis=-1))
+            l2 = l * jnp.exp(m - m2) + jnp.sum(
+                jnp.exp(s - m2[..., None]) * km[None], axis=-1)
+            return (m2, l2), None
+
+        m0 = jnp.full((BH, bq), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((BH, bq), jnp.float32)
+        (m, l), _ = jax.lax.scan(lse, (m0, l0), jnp.arange(nk))
+        L = m + jnp.log(jnp.maximum(l, 1e-30))                 # (BH, bq)
+
+        def grad(carry2, j):
+            dqacc, dk, dv = carry2
+            kj = jax.lax.dynamic_index_in_dim(kt, j, 1, keepdims=False)
+            vj = jax.lax.dynamic_index_in_dim(vt, j, 1, keepdims=False)
+            s = scores(qb, kj)
+            km = keep_tile(i * bq, j * bkv)
+            # mask BEFORE the exp: invisible columns can have raw s >> L
+            # (overflow -> inf * 0 = NaN)
+            s = jnp.where(km[None], s, NEG_INF)
+            p = jnp.exp(s - L[..., None])                      # (BH,bq,bkv)
+            dp = jnp.einsum("bqd,bkd->bqk", dob, vj,
+                            preferred_element_type=jnp.float32)
+            t = (p * (dp - Dvec[..., None])).astype(q.dtype)
+            pb = p.astype(q.dtype)
+            dqacc = dqacc + scale * jnp.einsum(
+                "bqk,bkd->bqd", t, kj, preferred_element_type=jnp.float32)
+            dkj = scale * jnp.einsum("bqk,bqd->bkd", t, qb,
+                                     preferred_element_type=jnp.float32)
+            dvj = jnp.einsum("bqk,bqd->bkd", pb, dob,
+                             preferred_element_type=jnp.float32)
+            dk = dk.at[:, j].add(dkj)
+            dv = dv.at[:, j].add(dvj)
+            return (dqacc, dk, dv), None
+
+        dq0 = jnp.zeros((BH, bq, D), jnp.float32)
+        (dqc, dk, dv), _ = jax.lax.scan(grad, (dq0, dk, dv),
+                                        jnp.arange(nk))
+        return (dk, dv), dqc
+
+    z = jnp.zeros((BH, nk, bkv, D), jnp.float32)
+    (dk, dv), dq_chunks = jax.lax.scan(q_chunk, (z, z), jnp.arange(nq))
+
+    def unprep(x, S):
+        # x: (BH, Sp, D) -> (B, S, H, D)
+        return x[:, :S].reshape(B, H, S, D).transpose(0, 2, 1, 3)
+
+    dq = unprep(jnp.moveaxis(dq_chunks, 0, 1).reshape(BH, Sqp, D), Sq)
+    dk_out = unprep(dk.reshape(BH, Skvp, D), Skv)
+    dv_out = unprep(dv.reshape(BH, Skvp, D), Skv)
+    return (dq.astype(q.dtype), dk_out.astype(k.dtype),
+            dv_out.astype(v.dtype))
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
 def attention(q, k, v, *, mask_fn=None, mask=None, scale=None,
               impl: str = "auto"):
     """Dispatcher. impl: 'auto' (pallas on TPU for long sequences, xla
     elsewhere / for short ones where the dense S^2 fits easily), 'xla',
-    'pallas'."""
+    'pallas'. The pallas path is differentiable: forward is the Pallas
+    kernel, backward the chunked flash backward above."""
     if impl == "auto":
         impl = ("pallas" if jax.default_backend() == "tpu"
                 and q.shape[1] >= 2048 else "xla")
     if impl == "xla":
         return mha_reference(q, k, v, mask=mask, scale=scale, mask_fn=mask_fn)
     assert mask is None, "pallas path takes mask_fn, not dense mask"
-    return flash_attention(q, k, v, mask_fn=mask_fn, scale=scale)
+    return _flash_diff(q, k, v, mask_fn, scale)

@@ -153,3 +153,27 @@ def test_flash_int8_scores_close_to_reference():
                                          interpret=True, int8_scores=True),
                        np.float32)
     np.testing.assert_allclose(got_m, want_m, rtol=0.1, atol=0.02)
+
+
+@pytest.mark.parametrize("mask_name", [None, "causal", "decoder"])
+def test_flash_backward_matches_reference_grads(mask_name):
+    """The chunked flash backward (custom_vjp on the pallas path) must
+    match autodiff through the dense oracle — the seam that makes
+    production-length training possible (a dense backward materializes
+    S^2; pallas_call has no autodiff rule)."""
+    mask_fn = {None: None, "causal": M.causal,
+               "decoder": M.video_decoder_mask(LAYOUT)}[mask_name]
+    B, S, H, D = 2, LAYOUT.seq_len, 2, 16
+    q, k, v = _rand_qkv(jax.random.PRNGKey(7), B, S, H, D)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(A.mha_reference(q, k, v, mask_fn=mask_fn) ** 2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(A._flash_diff(q, k, v, mask_fn, None) ** 2)
+
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-4)
