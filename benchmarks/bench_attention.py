@@ -63,9 +63,12 @@ def run(S=18002, iters=3):
     os.environ["LANDIFF_ATTN_CACHED"] = "0"
     stream = bench("pallas streaming",
                    lambda q, k, v: attn.flash_attention(q, k, v))
-    best = min(results, key=results.get)
-    print(f"# best cached {best}: {results[best]:.1f} ms; streaming "
-          f"{stream:.1f} ms ({stream / results[best]:.3f}x)")
+    if results:
+        best = min(results, key=results.get)
+        print(f"# best cached {best}: {results[best]:.1f} ms; streaming "
+              f"{stream:.1f} ms ({stream / results[best]:.3f}x)")
+    else:
+        print("# all cached configs failed; streaming only")
     if B * H * S * S * 4 < 8e9:   # dense scores won't fit HBM at DiT size
         xla = bench("xla dense", lambda q, k, v: attn.mha_reference(q, k, v))
         print(f"# cached vs xla: {xla / results[best]:.3f}x")

@@ -553,25 +553,34 @@ def verify_ckpt_tree(ckpt_dir, cfg=None, *, torch_block_check: bool = True):
         raw = load_torch_file(base_path)
         base_sd = {k[6:]: v for k, v in raw.items()
                    if k.startswith("model.")}
-        tree, unconsumed = convert_tracked(
-            lambda sd: convert_dit(sd, cfg.dit.num_layers), base_sd)
-        bad = sorted(k for k in unconsumed
-                     if not any(k.startswith(i) for i in
-                                manifests.DIT_IGNORED))
-        entry = {"status": "ok", "unconsumed_unexpected": bad}
-        # validate our recomputed sincos table vs the frozen parameter
-        if "mixins.pos_embed.pos_embedding" in base_sd:
-            from landiff_tpu.models import dit as dit_lib
+        # guard like check(): --verify must REPORT layout drift (missing
+        # keys raise KeyError inside the converter), not crash on it
+        try:
+            tree, unconsumed = convert_tracked(
+                lambda sd: convert_dit(sd, cfg.dit.num_layers), base_sd)
+            bad = sorted(k for k in unconsumed
+                         if not any(k.startswith(i) for i in
+                                    manifests.DIT_IGNORED))
+            entry = {"status": "ok", "unconsumed_unexpected": bad}
+        except KeyError as e:
+            tree = None
+            entry = {"status": "error", "missing_key": str(e)}
+        if tree is not None:
+            # validate our recomputed sincos table vs the frozen parameter
+            if "mixins.pos_embed.pos_embedding" in base_sd:
+                from landiff_tpu.models import dit as dit_lib
 
-            theirs = np.asarray(
-                base_sd["mixins.pos_embed.pos_embedding"])[0]
-            ours = dit_lib.pos_embed_table(cfg.dit)
-            n = min(len(theirs), len(ours))
-            entry["pos_embed_max_abs_diff"] = float(
-                np.abs(theirs[:n] - ours[:n]).max())
-        if torch_block_check:
-            entry["layer0_torch_parity"] = _torch_layer_roundtrip(
-                tree, cfg.dit)
+                theirs = np.asarray(
+                    base_sd["mixins.pos_embed.pos_embedding"])[0]
+                ours = dit_lib.pos_embed_table(cfg.dit)
+                n = min(len(theirs), len(ours))
+                entry["pos_embed_max_abs_diff"] = float(
+                    np.abs(theirs[:n] - ours[:n]).max())
+            if torch_block_check:
+                entry["layer0_torch_parity"] = _torch_layer_roundtrip(
+                    tree, cfg.dit)
+        else:
+            base_sd = None
         report["dit_base"] = entry
     else:
         report["dit_base"] = {"status": "absent"}

@@ -141,6 +141,11 @@ def prepare(clips_dir: str, out_dir: str, *, model: str = "vq",
         seg_stride = cfg.segment_stride
 
     for name, video in iter_clips(Path(clips_dir)):
+        if model == "dit":
+            # the frozen-T5 context depends only on the caption: encode
+            # once per clip, not once per 49-frame window
+            clip_ctx = np.asarray(
+                encode_context(captions.get(name, ""))[0], np.float32)
         for seg in segment(video, seg_len, seg_stride):
             tok_frames = seg[::stride_t][:cfg.segment_length]
             feats = feats_fn(jnp.asarray(tok_frames)[None])  # (1,T,gh,gw,C)
@@ -155,8 +160,7 @@ def prepare(clips_dir: str, out_dir: str, *, model: str = "vq",
                 add("tokens", np.asarray(codes[0], np.int32))
                 add("latents", np.asarray(encode_latents(seg)[0],
                                           np.float32))
-                add("context", np.asarray(
-                    encode_context(captions.get(name, ""))[0], np.float32))
+                add("context", clip_ctx)
         logger.info("clip %s: %d frames", name, video.shape[0])
 
     data = {k: np.stack(v) if k != "caption" else np.asarray(v)

@@ -600,9 +600,12 @@ def _flash_diff_bwd(mask_fn, scale, res, do, *, bq=512, bkv=1024):
             s = scores(qb, kj)
             km = keep_tile(i * bq, j * bkv)
             # mask BEFORE the exp: invisible columns can have raw s >> L
-            # (overflow -> inf * 0 = NaN)
+            # (overflow -> inf * 0 = NaN) ...
             s = jnp.where(km[None], s, NEG_INF)
-            p = jnp.exp(s - L[..., None])                      # (BH,bq,bkv)
+            # ... AND zero p explicitly after: for a FULLY-masked row,
+            # L = NEG_INF + log(1e-30) so s - L = +69 and the exp alone
+            # gives ~9e29, not 0 (flex-attention zero-row semantics)
+            p = jnp.where(km[None], jnp.exp(s - L[..., None]), 0.0)
             dp = jnp.einsum("bqd,bkd->bqk", dob, vj,
                             preferred_element_type=jnp.float32)
             t = (p * (dp - Dvec[..., None])).astype(q.dtype)

@@ -169,12 +169,13 @@ def _setup_lm(cfg: LanDiffConfig, optimizer, mesh, dtype):
     def collate(params, batch):
         # host-side teacher-forcing assembly (prompt embeddings depend on
         # the current conditioner params); rows are equal-length by
-        # construction (same schedule for every sample)
+        # construction (same schedule for every sample). The micro-cond
+        # features are constant per step (fixed dict) — compute once.
+        mic = lm_lib.micro_cond_features(params, cfg.llm, micro,
+                                         compute_dtype=jnp.float32)
         rows = []
         for t5f, codes in zip(batch["t5_feats"], batch["codes"]):
             text = lm_lib.text_cond_features(params, jnp.asarray(t5f),
-                                             compute_dtype=jnp.float32)
-            mic = lm_lib.micro_cond_features(params, cfg.llm, micro,
                                              compute_dtype=jnp.float32)
             rows.append(lm_train.build_training_batch(
                 params, cfg.llm, text, mic, np.asarray(codes)))
@@ -245,11 +246,33 @@ def train(model: str, data_dir: str, *, steps: int = 100,
     start = 0
     if resume and ckpt_dir and Path(ckpt_dir).exists():
         try:
-            start, restored = ckpt_lib.restore_checkpoint(
-                ckpt_dir, template={"params": state[0],
-                                    "opt_state": state[1]})
-            state = (restored["params"], restored["opt_state"]) + state[2:]
-            start += 1
+            # the FULL state tuple round-trips (vq carries cb_state and the
+            # kmeans-init flag — restoring params alone would re-run the
+            # kmeans init and wipe the trained codebook)
+            template = {"params": state[0], "opt_state": state[1],
+                        "extra": {"rest": list(state[2:])}}
+            start, restored = ckpt_lib.restore_checkpoint(ckpt_dir,
+                                                          template=template)
+            # re-place every restored array: mesh-sharded leaves keep
+            # their NamedSharding, everything else is replicated over the
+            # mesh (orbax restores scalars single-device-committed, which
+            # then fails jit device checks against sharded params)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            repl = NamedSharding(mesh, PartitionSpec())
+
+            def replace(t, r):
+                if not hasattr(t, "sharding"):
+                    return r
+                s = t.sharding
+                return jax.device_put(
+                    r, s if isinstance(s, NamedSharding) else repl)
+
+            restored = jax.tree_util.tree_map(replace, template, restored)
+            state = (restored["params"], restored["opt_state"],
+                     *restored["extra"]["rest"])
+            # `start` counts completed steps; the loop index i is 0-based,
+            # so resuming after saved step N continues at i = N (step N+1)
         except FileNotFoundError:
             pass
 
@@ -276,7 +299,8 @@ def train(model: str, data_dir: str, *, steps: int = 100,
             metrics.log(i + 1, sec_per_step=dt, **row)
             logger.info("step %d %s (%.3f s/step)", i + 1, row, dt)
         if ckpt_dir and ((i + 1) % save_every == 0 or i + 1 == steps):
-            ckpt_lib.save_checkpoint(ckpt_dir, i + 1, state[0], state[1])
+            ckpt_lib.save_checkpoint(ckpt_dir, i + 1, state[0], state[1],
+                                     extra={"rest": list(state[2:])})
     return state, last
 
 

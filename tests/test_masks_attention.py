@@ -177,3 +177,30 @@ def test_flash_backward_matches_reference_grads(mask_name):
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_flash_backward_fully_masked_rows_zero_grads():
+    """Regression: a fully-masked q row has L = NEG_INF - 69, so the
+    backward's exp(s - L) alone is ~9e29, not 0 — p must be re-zeroed by
+    the keep mask or garbage flows into dq/dk/dv."""
+    L = LAYOUT
+    B, H, D = 1, 1, 8
+    S = L.seq_len + 5          # padding rows see nothing
+    q, k, v = _rand_qkv(jax.random.PRNGKey(9), B, S, H, D)
+    mask_fn = M.video_encoder_mask(L)
+
+    def loss(q, k, v):
+        return jnp.sum(A._flash_diff(q, k, v, mask_fn, None) ** 2)
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for g in (dq, dk, dv):
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).max() < 1e3
+    # masked rows contribute nothing
+    np.testing.assert_allclose(np.asarray(dq)[0, L.seq_len:], 0.0, atol=0)
+    want = jax.grad(lambda q, k, v: jnp.sum(
+        A.mha_reference(q, k, v, mask_fn=mask_fn) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    for g, w in zip((dq, dk, dv), want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-4)

@@ -48,3 +48,37 @@ def test_driver_resume(tmp_path):
 def test_parse_mesh():
     m = train_lib.parse_mesh("data=2,model=4")
     assert (m.data, m.model) == (2, 4)
+
+
+def test_driver_resume_vq_keeps_codebook(tmp_path):
+    """Regression: vq resume must round-trip cb_state and the kmeans-init
+    flag — restoring params alone re-ran the first-batch kmeans init and
+    wiped the trained codebook."""
+    cfg = tiny_test_config()
+    data_dir = tmp_path / "data"
+    train_lib.synthesize("vq", cfg, 6, data_dir, shard_size=3)
+    ckpt = tmp_path / "ckpt"
+    state, _ = train_lib.train("vq", str(data_dir), steps=2, batch_size=2,
+                               mesh_spec="data=2,model=2",
+                               ckpt_dir=str(ckpt), save_every=2,
+                               log_every=1, tiny=True)
+    cb_after_2 = np.asarray(state[0]["quant"]["codebook"]).copy()
+    cs_after_2 = np.asarray(state[2].cluster_size).copy()
+    # resume with steps == saved step: zero new steps run, so the returned
+    # state IS the restored state — codebook and cb_state must round-trip
+    # exactly and the kmeans-init flag must stay consumed
+    state2, _ = train_lib.train("vq", str(data_dir), steps=2,
+                                batch_size=2, mesh_spec="data=2,model=2",
+                                ckpt_dir=str(ckpt), save_every=10,
+                                log_every=1, resume=True, tiny=True)
+    np.testing.assert_allclose(np.asarray(state2[0]["quant"]["codebook"]),
+                               cb_after_2, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(state2[2].cluster_size),
+                               cs_after_2, rtol=1e-6)
+    assert not bool(np.asarray(state2[3]))   # first=False: no re-init
+    # and one further resumed step trains without error
+    _, last = train_lib.train("vq", str(data_dir), steps=3, batch_size=2,
+                              mesh_spec="data=2,model=2",
+                              ckpt_dir=str(ckpt), save_every=10,
+                              log_every=1, resume=True, tiny=True)
+    assert np.isfinite(float(np.asarray(last["total_loss"])))
