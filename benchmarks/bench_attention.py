@@ -71,7 +71,9 @@ def run(S=18002, iters=3):
         print("# all cached configs failed; streaming only")
     if B * H * S * S * 4 < 8e9:   # dense scores won't fit HBM at DiT size
         xla = bench("xla dense", lambda q, k, v: attn.mha_reference(q, k, v))
-        print(f"# cached vs xla: {xla / results[best]:.3f}x")
+        ref = results[best] if results else stream
+        print(f"# {'cached' if results else 'streaming'} vs xla: "
+              f"{xla / ref:.3f}x")
 
 
 if __name__ == "__main__":

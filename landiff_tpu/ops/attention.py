@@ -5,7 +5,8 @@ Replaces the reference's native attention surface (SURVEY §2.9):
   - torch flex_attention + BlockMask        -> same kernel + mask-spec
     evaluation in-kernel with a block-visibility table for sparsity skipping
     (masks from ops/masks.py)
-  - einsum attention (llm decode)           -> ops/decode_attention.py
+  - einsum attention (llm decode)           -> KV-cache einsum decode in
+    models/gpt.py (block_decode)
 
 Layout convention: (batch, seq, heads, head_dim) a.k.a. BSHD everywhere.
 
@@ -33,19 +34,14 @@ NEG_INF = -1e30
 # leaves room for q/o blocks, the f32 s tile, and accumulators)
 _KV_CACHE_VMEM_BUDGET = 9 * 1024 * 1024
 
-import os as _os
-
-# bf16 exp2 in the online softmax (opt-in): halves VPU cycles on the
-# tile-sized transcendental; p is in [0,1] and feeds a bf16 matmul anyway
-_EXP_BF16 = _os.environ.get("LANDIFF_ATTN_EXP_BF16") == "1"
-
-
-def _softmax_tile(m, l, s, keep, v_dtype):
+def _softmax_tile(m, l, s, keep, v_dtype, exp_bf16=False):
     """One online-softmax tile update (log2-domain s). Returns
-    (m_new, alpha, l_new, p_for_pv)."""
+    (m_new, alpha, l_new, p_for_pv). exp_bf16: opt-in bf16 exp2 — halves
+    VPU cycles on the tile-sized transcendental; p is in [0,1] and feeds a
+    bf16 matmul anyway."""
     m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
     alpha = jnp.exp2(m - m_new)
-    if _EXP_BF16:
+    if exp_bf16:
         p = jnp.exp2((s - m_new).astype(jnp.bfloat16))
         if keep is not None:
             p = p * keep.astype(jnp.bfloat16)
@@ -103,7 +99,7 @@ def _flash_kernel(count_ref,     # SMEM (nq,) int32: visible kv-block count
                   v_buf,         # VMEM scratch (2, D, block_kv)
                   sem,           # DMA semaphores (2, 2)
                   *,
-                  mask_fn, scale, block_q, block_kv):
+                  mask_fn, scale, block_q, block_kv, exp_bf16=False):
     """Online-softmax flash attention over only the VISIBLE kv blocks for
     this q block. K/V stay in HBM in (D, S) layout — manual DMA slices must
     be 128-aligned on the minormost dim, which head_dim=64 is not, while the
@@ -172,7 +168,8 @@ def _flash_kernel(count_ref,     # SMEM (nq,) int32: visible kv-block count
             s = s * keep + NEG_INF * (1.0 - keep)
         # fully-masked rows must output 0 (flex-attention semantics):
         # _softmax_tile re-applies keep to p
-        m_new, alpha, l_new, pv = _softmax_tile(m, l, s, keep, v_buf.dtype)
+        m_new, alpha, l_new, pv = _softmax_tile(m, l, s, keep, v_buf.dtype,
+                                                exp_bf16=exp_bf16)
         acc_new = acc * alpha + jax.lax.dot_general(
             pv, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)        # (bq, D)
@@ -194,7 +191,7 @@ def _flash_kernel_cached(count_ref,   # SMEM (nq,) int32
                          v_cache,     # VMEM scratch (D, S_kv)
                          sem,         # DMA semaphores (2,)
                          *,
-                         mask_fn, scale, block_q, block_kv):
+                         mask_fn, scale, block_q, block_kv, exp_bf16=False):
     """K/V-resident variant: the whole (D, S_kv) K and V for the current
     batch*head row are DMA'd into VMEM ONCE (at the first q block) and
     reused by every q block — with grid (BH, nq) iterated row-major
@@ -236,7 +233,8 @@ def _flash_kernel_cached(count_ref,   # SMEM (nq,) int32
             keep = jnp.maximum(tile_mask.astype(jnp.float32), full)
             s = s * keep + NEG_INF * (1.0 - keep)
         m_new, alpha, l_new, pv = _softmax_tile(m, l, s, keep,
-                                                v_cache.dtype)
+                                                v_cache.dtype,
+                                                exp_bf16=exp_bf16)
         acc_new = acc * alpha + jax.lax.dot_general(
             pv, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -260,7 +258,8 @@ def _flash_kernel_cached_i8(count_ref,   # SMEM (nq,) int32
                             v_cache,     # VMEM scratch (D, S_kv)
                             sem,         # DMA semaphores (3,)
                             *,
-                            mask_fn, scale, block_q, block_kv):
+                            mask_fn, scale, block_q, block_kv,
+                            exp_bf16=False):
     """int8-scores variant of the K/V-resident kernel: the q @ k^T
     contraction is head_dim=64 — half the 128-wide MXU K dimension — so
     bf16 scores run the MXU at half rate (the measured step floor,
@@ -315,7 +314,8 @@ def _flash_kernel_cached_i8(count_ref,   # SMEM (nq,) int32
             keep = jnp.maximum(tile_mask.astype(jnp.float32), full)
             s = s * keep + NEG_INF * (1.0 - keep)
         m_new, alpha, l_new, pv = _softmax_tile(m, l, s, keep,
-                                                v_cache.dtype)
+                                                v_cache.dtype,
+                                                exp_bf16=exp_bf16)
         acc_new = acc * alpha + jax.lax.dot_general(
             pv, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -338,10 +338,10 @@ def _pad_to(x, length, axis):
 @functools.partial(
     jax.jit,
     static_argnames=("mask_fn", "scale", "block_q", "block_kv", "interpret",
-                     "cached", "int8_scores"))
+                     "cached", "int8_scores", "exp_bf16"))
 def _flash_call(q, k, v, count, order, kind, k_scales=None, *, mask_fn,
                 scale, block_q, block_kv, interpret, cached=False,
-                int8_scores=False):
+                int8_scores=False, exp_bf16=False):
     BH, Sq, D = q.shape
     Skv = k.shape[2]           # k/v arrive transposed: (BH, D, S_kv)
     nq = Sq // block_q
@@ -367,7 +367,7 @@ def _flash_call(q, k, v, count, order, kind, k_scales=None, *, mask_fn,
         return pl.pallas_call(
             functools.partial(_flash_kernel_cached_i8, mask_fn=mask_fn,
                               scale=scale, block_q=block_q,
-                              block_kv=block_kv),
+                              block_kv=block_kv, exp_bf16=exp_bf16),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
             compiler_params=pltpu.CompilerParams(
@@ -386,7 +386,7 @@ def _flash_call(q, k, v, count, order, kind, k_scales=None, *, mask_fn,
         ]
         kernel = functools.partial(
             _flash_kernel_cached, mask_fn=mask_fn, scale=scale,
-            block_q=block_q, block_kv=block_kv)
+            block_q=block_q, block_kv=block_kv, exp_bf16=exp_bf16)
         # scratch K/V must persist across the qi sweep of one bh row
         semantics = ("arbitrary", "arbitrary")
         bytes_accessed = 2 * BH * (Sq + Skv) * D * q.dtype.itemsize
@@ -398,7 +398,7 @@ def _flash_call(q, k, v, count, order, kind, k_scales=None, *, mask_fn,
         ]
         kernel = functools.partial(
             _flash_kernel, mask_fn=mask_fn, scale=scale, block_q=block_q,
-            block_kv=block_kv)
+            block_kv=block_kv, exp_bf16=exp_bf16)
         semantics = ("parallel", "parallel")
         bytes_accessed = 2 * BH * (Sq + 2 * Skv) * D * q.dtype.itemsize
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -429,7 +429,8 @@ def _flash_call(q, k, v, count, order, kind, k_scales=None, *, mask_fn,
 def flash_attention(q, k, v, *, mask_fn=None, scale=None,
                     block_q: int = 512, block_kv: int = 1024,
                     interpret: bool | None = None,
-                    int8_scores: bool | None = None):
+                    int8_scores: bool | None = None,
+                    exp_bf16: bool | None = None):
     """Flash attention with optional structured mask.
 
     Args:
@@ -489,6 +490,8 @@ def flash_attention(q, k, v, *, mask_fn=None, scale=None,
 
     if int8_scores is None:
         int8_scores = os.environ.get("LANDIFF_ATTN_INT8") == "1"
+    if exp_bf16 is None:
+        exp_bf16 = os.environ.get("LANDIFF_ATTN_EXP_BF16") == "1"
     cache_bytes = 2 * D * Skv_p * q.dtype.itemsize
     cached = (cache_bytes <= _KV_CACHE_VMEM_BUDGET and nq > 1
               and os.environ.get("LANDIFF_ATTN_CACHED", "1") != "0")
@@ -502,14 +505,14 @@ def flash_attention(q, k, v, *, mask_fn=None, scale=None,
                           jnp.asarray(order), jnp.asarray(kind), sk,
                           mask_fn=kern_fn, scale=scale, block_q=block_q,
                           block_kv=block_kv, interpret=interpret,
-                          int8_scores=True)
+                          int8_scores=True, exp_bf16=exp_bf16)
         out = out[:, :Sq].reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
         return out
 
     out = _flash_call(qt, kt, vt, jnp.asarray(count), jnp.asarray(order),
                       jnp.asarray(kind), mask_fn=kern_fn,
                       scale=scale, block_q=block_q, block_kv=block_kv,
-                      interpret=interpret, cached=cached)
+                      interpret=interpret, cached=cached, exp_bf16=exp_bf16)
     out = out[:, :Sq].reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
     return out
 
@@ -528,11 +531,16 @@ def flash_attention(q, k, v, *, mask_fn=None, scale=None,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _flash_diff(q, k, v, mask_fn, scale):
-    return flash_attention(q, k, v, mask_fn=mask_fn, scale=scale)
+    # int8/bf16-exp inference knobs are pinned OFF: the backward recomputes
+    # exact f32 scores, so an approximate forward would produce a silent
+    # forward/gradient mismatch during training.
+    return flash_attention(q, k, v, mask_fn=mask_fn, scale=scale,
+                           int8_scores=False, exp_bf16=False)
 
 
 def _flash_diff_fwd(q, k, v, mask_fn, scale):
-    out = flash_attention(q, k, v, mask_fn=mask_fn, scale=scale)
+    out = flash_attention(q, k, v, mask_fn=mask_fn, scale=scale,
+                          int8_scores=False, exp_bf16=False)
     return out, (q, k, v, out)
 
 

@@ -13,6 +13,8 @@ SOI, visual codes, EOI, SOP, EOP, EOS).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -78,12 +80,19 @@ def lm_loss(params, cfg: LLMConfig, features, labels, loss_mask,
     return jnp.sum(ce * shift_mask) / jnp.maximum(jnp.sum(shift_mask), 1)
 
 
-def make_train_step(optimizer, cfg: LLMConfig, compute_dtype=jnp.float32):
+def make_train_step(optimizer, cfg: LLMConfig, compute_dtype=jnp.float32,
+                    opt_shardings=None):
+    """opt_shardings: optional ZeRO shardings pytree for the optimizer
+    state (training/zero.py) — pinned as jit out_shardings so the updated
+    state stays DP-sharded instead of relying on GSPMD propagation."""
     def loss_fn(params, features, labels, loss_mask):
         return lm_loss(params, cfg, features, labels, loss_mask,
                        compute_dtype)
 
-    @jax.jit
+    jit_kw = ({"out_shardings": (None, opt_shardings, None)}
+              if opt_shardings is not None else {})
+
+    @functools.partial(jax.jit, **jit_kw)
     def train_step(params, opt_state, features, labels, loss_mask):
         loss, grads = jax.value_and_grad(loss_fn)(params, features, labels,
                                                   loss_mask)

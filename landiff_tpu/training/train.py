@@ -56,12 +56,8 @@ from landiff_tpu.training import diffusion_loss, lm_train, vq_train, zero
 logger = logging.getLogger("landiff_tpu.train")
 
 
-def parse_mesh(spec: str | None) -> MeshConfig:
-    """'data=2,model=4' -> MeshConfig. None -> all devices on data."""
-    if not spec:
-        return MeshConfig(data=len(jax.devices()), model=1)
-    kv = dict(part.split("=") for part in spec.split(","))
-    return MeshConfig(**{k: int(v) for k, v in kv.items()})
+parse_mesh = mesh_lib.parse_mesh  # moved to parallel/mesh.py (shared with
+                                  # the inference CLI); kept as an alias
 
 
 def make_optimizer(lr: float, steps: int, *, warmup: int = 100,
@@ -137,11 +133,16 @@ def _setup_dit(cfg: LanDiffConfig, optimizer, mesh, dtype):
         dit_lib.init(k2, cfg.dit, control=True, dtype=dtype), mesh,
         mesh_lib.DIT_RULES)
     sem_p = sc_lib.init(k3, cfg.tokenizer, cfg.semantic_cond, dtype=dtype)
-    opt_state, _ = zero.zero_shard_opt_state(optimizer.init(ctrl_p), mesh)
+    opt_state, opt_sh = zero.zero_shard_opt_state(optimizer.init(ctrl_p),
+                                                  mesh)
     raw = diffusion_loss.make_train_step(
         optimizer, cfg.dit, cfg.sampler, cfg.tokenizer, cfg.semantic_cond,
         compute_dtype=dtype)
-    step = jax.jit(raw, donate_argnums=(0, 1))
+    # pin the updated opt_state to its ZeRO shardings (zero.py contract) —
+    # with donated buffers GSPMD propagation alone can silently degrade the
+    # output to replicated on a real mesh; params/loss stay GSPMD-chosen
+    step = jax.jit(raw, donate_argnums=(0, 1),
+                   out_shardings=(None, opt_sh, None))
     bsh = NamedSharding(mesh, P("data"))
 
     def run(state, batch, key):
@@ -161,8 +162,10 @@ def _setup_lm(cfg: LanDiffConfig, optimizer, mesh, dtype):
         lm_lib.init(jax.random.PRNGKey(0), cfg.llm, t5_dim=cfg.t5.d_model,
                     dtype=dtype),
         mesh, mesh_lib.GPT_RULES)
-    opt_state, _ = zero.zero_shard_opt_state(optimizer.init(params), mesh)
-    step = lm_train.make_train_step(optimizer, cfg.llm, compute_dtype=dtype)
+    opt_state, opt_sh = zero.zero_shard_opt_state(optimizer.init(params),
+                                                  mesh)
+    step = lm_train.make_train_step(optimizer, cfg.llm, compute_dtype=dtype,
+                                    opt_shardings=opt_sh)
     bsh = NamedSharding(mesh, P("data"))
     micro = {"frames": cfg.llm.frames_per_segment, "motion_score": 0.1}
 
@@ -280,18 +283,26 @@ def train(model: str, data_dir: str, *, steps: int = 100,
     metrics = MetricsLogger(metrics_path)
     key = jax.random.PRNGKey(seed)
 
-    def batches():
+    def host_batches():
         epoch = 0
         while True:
-            yield from data_lib.prefetch_to_device(
-                ds.iter_epoch(epoch), sharding=batch_sharding)
+            yield from ds.iter_epoch(epoch)
             epoch += 1
 
-    it = batches()
+    hb = host_batches()
+    # resume determinism: replay the data stream to the checkpoint cursor
+    # (batches are seeded-shuffled, so skipping `start` host batches lands
+    # exactly where the interrupted run was) ...
+    for _ in range(start):
+        next(hb)
+    it = data_lib.prefetch_to_device(hb, sharding=batch_sharding)
     t0 = time.time()
     last = {}
     for i in range(start, steps):
-        key, k_step = jax.random.split(key)
+        # ... and derive the step key from the step INDEX (fold_in, not
+        # sequential splits) so a resumed run draws the same noise an
+        # uninterrupted one would at the same step
+        k_step = jax.random.fold_in(key, i)
         state, last = run(state, next(it), k_step)
         if (i + 1) % log_every == 0 or i + 1 == steps:
             row = {k: float(np.asarray(v)) for k, v in last.items()}
