@@ -134,6 +134,20 @@ def decode_first_stage(vae_params, latents, vae_cfg: VAEConfig, *,
     return out.astype(jnp.float32)
 
 
+def decode_first_stage_cp(vae_params, latents, vae_cfg: VAEConfig, mesh, *,
+                          compute_dtype=jnp.bfloat16):
+    """Multi-chip temporal-CP first-stage decode: latents (B, T, C, H', W')
+    -> video (B, 3, T_out, H, W) in [-1, 1], with the frame axis sharded
+    over the mesh `time` axis (parallel/vae_cp.py ppermute-halo decode —
+    the reference's CP VAE, cp_enc_dec.py:249-300)."""
+    from landiff_tpu.parallel import vae_cp
+
+    z = latents.transpose(0, 2, 1, 3, 4) / vae_cfg.scale_factor
+    out = vae_cp.decode_temporal_cp(vae_params["decoder"], z, vae_cfg, mesh,
+                                    compute_dtype=compute_dtype)
+    return out.astype(jnp.float32)
+
+
 def encode_first_stage(vae_params, video, vae_cfg: VAEConfig, *, key=None,
                        compute_dtype=jnp.bfloat16):
     """video (B, 3, T, H, W) in [-1,1] -> latents (B, T', z, H/8, W/8)

@@ -100,28 +100,34 @@ def _modulate(x, shift, scale):
     return x * (1.0 + scale[:, None]) + shift[:, None]
 
 
-def _layer(p, x, emb, cfg: DiTConfig, attn_impl):
-    """One AdaLN DiT layer over the concat [text|video] sequence.
-
-    The reference modulates text/img slices separately and re-concats
-    (dit_video_concat.py:577-588); here the per-token shift/scale/gate are
-    position-selected (text vs video) so every modulation fuses into the
-    neighbouring elementwise op instead of materializing concats."""
-    B, S, D = x.shape
-    tl = cfg.text_length
-    H, Dk = cfg.num_heads, cfg.head_dim
-    dt = x.dtype
-
-    # adaLN_modulation = Sequential(SiLU, Linear) (dit_video_concat.py:510-515)
+def _adaln_sel(p, emb, S, tl, dt):
+    """adaLN_modulation = Sequential(SiLU, Linear) (dit_video_concat.py:
+    510-515) -> the 12 (B, D) pieces + a position-select helper: the
+    reference modulates text/img slices separately and re-concats
+    (:577-588); here the per-token shift/scale/gate are position-selected
+    (text vs video) so every modulation fuses into the neighbouring
+    elementwise op instead of materializing concats."""
     mods = _linear(p, "adaln", jax.nn.silu(emb.astype(dt)))
-    (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp,
-     t_shift_msa, t_scale_msa, t_gate_msa, t_shift_mlp, t_scale_mlp,
-     t_gate_mlp) = jnp.split(mods, 12, axis=-1)
+    pieces = jnp.split(mods, 12, axis=-1)
     is_text = (jnp.arange(S) < tl)[None, :, None]
 
     def sel(tv, vv):
         # (B, 1, D) pair -> (B, S, D)-broadcast per-token value
         return jnp.where(is_text, tv[:, None], vv[:, None])
+
+    return sel, pieces
+
+
+def _layer(p, x, emb, cfg: DiTConfig, attn_impl):
+    """One AdaLN DiT layer over the concat [text|video] sequence."""
+    B, S, D = x.shape
+    tl = cfg.text_length
+    H, Dk = cfg.num_heads, cfg.head_dim
+    dt = x.dtype
+
+    sel, (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp,
+          t_shift_msa, t_scale_msa, t_gate_msa, t_shift_mlp, t_scale_mlp,
+          t_gate_mlp) = _adaln_sel(p, emb, S, tl, dt)
 
     h = layer_norm(x, p["ln1_w"], p["ln1_b"], 1e-6)
     h = h * (1.0 + sel(t_scale_msa, scale_msa)) + sel(t_shift_msa, shift_msa)
@@ -142,6 +148,54 @@ def _layer(p, x, emb, cfg: DiTConfig, attn_impl):
     h = h * (1.0 + sel(t_scale_mlp, scale_mlp)) + sel(t_shift_mlp, shift_mlp)
     h = jax.nn.gelu(_linear(p, "mlp0", h), approximate=True)
     h = _linear(p, "mlp1", h)
+    x = x + sel(t_gate_mlp, gate_mlp) * h
+    return x
+
+
+def _layer_tp(p, x, emb, cfg: DiTConfig, attn_impl, axis: str):
+    """Megatron-TP variant of `_layer`, run INSIDE shard_map: `p` holds the
+    LOCAL shard of the tp-prepped layer params (parallel/tp_infer.py) —
+    qkv_w (D, 3, H_local, Dk) column-parallel, attn_out_w (H_local, Dk, D)
+    row-parallel, mlp0 column- / mlp1 row-parallel. The hidden stream x is
+    replicated over the model axis (sharded over data only); one psum after
+    attention-out and one after mlp1 per layer — 2 ICI all-reduces/layer,
+    the collective count the v5e-8 projection models (bench.py).
+
+    Head padding: when cfg.num_heads doesn't divide tp (30 heads / tp=4),
+    prep pads to H_pad with ZERO q/k/v weights and zero attn_out rows —
+    a pad head's v is 0, so its softmax output is 0 and it contributes
+    nothing; exactness is preserved (qk_ln on a zero vector yields the
+    constant bias -> uniform softmax over zero v, still 0)."""
+    B, S, D = x.shape
+    tl = cfg.text_length
+    dt = x.dtype
+    w = p["qkv_w"]                          # (D, 3, H_local, Dk)
+    _, _, Hl, Dk = w.shape
+
+    sel, (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp,
+          t_shift_msa, t_scale_msa, t_gate_msa, t_shift_mlp, t_scale_mlp,
+          t_gate_mlp) = _adaln_sel(p, emb, S, tl, dt)
+
+    h = layer_norm(x, p["ln1_w"], p["ln1_b"], 1e-6)
+    h = h * (1.0 + sel(t_scale_msa, scale_msa)) + sel(t_shift_msa, shift_msa)
+
+    qkv = h @ w.reshape(D, 3 * Hl * Dk).astype(dt) \
+        + p["qkv_b"].reshape(3 * Hl * Dk).astype(dt)
+    qkv = qkv.reshape(B, S, 3, Hl, Dk)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    if cfg.qk_ln:
+        q = layer_norm(q, p["q_ln_w"], p["q_ln_b"], 1e-6)
+        k = layer_norm(k, p["k_ln_w"], p["k_ln_b"], 1e-6)
+    attn = attention(q, k, v, impl=attn_impl).reshape(B, S, Hl * Dk)
+    attn = attn @ p["attn_out_w"].reshape(Hl * Dk, D).astype(dt)
+    attn = jax.lax.psum(attn, axis) + p["attn_out_b"].astype(dt)
+    x = x + sel(t_gate_msa, gate_msa) * attn
+
+    h = layer_norm(x, p["ln2_w"], p["ln2_b"], 1e-6)
+    h = h * (1.0 + sel(t_scale_mlp, scale_mlp)) + sel(t_shift_mlp, shift_mlp)
+    h = jax.nn.gelu(_linear(p, "mlp0", h), approximate=True)
+    h = h @ p["mlp1_w"].astype(dt)
+    h = jax.lax.psum(h, axis) + p["mlp1_b"].astype(dt)
     x = x + sel(t_gate_mlp, gate_mlp) * h
     return x
 
@@ -194,6 +248,12 @@ def forward(params, x, timesteps, context, cfg: DiTConfig, *,
         h = layer_fn(p, h, emb, cfg, attn_impl)
         if control_outputs is not None and i < len(control_outputs):
             h = h + control_outputs[i].astype(h.dtype)
+    return _final_head(params, h, emb, cfg)
+
+
+def _final_head(params, h, emb, cfg: DiTConfig):
+    """SAT final_layernorm + FinalLayerMixin modulate/linear/unpatchify
+    (dit_video_concat.py:392-460)."""
     h = layer_norm(h, params["final_ln_w"], params["final_ln_b"], 1e-6)
     hv = h[:, cfg.text_length:]
     f = params["final"]
@@ -245,6 +305,58 @@ def control_warp_forward(main_params, control_params, x, timesteps, context,
     return forward(main_params, x, timesteps, context, cfg,
                    control_outputs=ctrl, attn_impl=attn_impl,
                    compute_dtype=compute_dtype, remat=remat)
+
+
+# ---------------------------------------------------------------------------
+# tensor-parallel forwards (run INSIDE shard_map; params in the tp layout
+# produced by parallel/tp_infer.prep_dit_tp — see _layer_tp). Replaces the
+# reference's SAT mpu model-parallel groups (arguments.py:215-299) with
+# explicit per-shard compute + psum collectives over the `model` mesh axis.
+
+
+def forward_tp(params, x, timesteps, context, cfg: DiTConfig, *, axis: str,
+               control_outputs=None, attn_impl="auto",
+               compute_dtype=jnp.bfloat16):
+    """Main DiT forward with TP-local transformer layers. Embeddings and
+    the final head are replicated compute (tiny next to the blocks)."""
+    h, emb = _embed_inputs(params, x, timesteps, context, cfg, compute_dtype)
+    for i, p in enumerate(params["layers"]):
+        h = _layer_tp(p, h, emb, cfg, attn_impl, axis)
+        if control_outputs is not None and i < len(control_outputs):
+            h = h + control_outputs[i].astype(h.dtype)
+    return _final_head(params, h, emb, cfg)
+
+
+def control_forward_tp(params, x, timesteps, context, cfg: DiTConfig,
+                       semantic_feature, *, axis: str, attn_impl="auto",
+                       compute_dtype=jnp.bfloat16):
+    """TP control branch; zero_linear stays replicated (D x D per layer —
+    small, and its output feeds the replicated main stream)."""
+    x = x.astype(compute_dtype) + semantic_feature.astype(compute_dtype)
+    h, emb = _embed_inputs(params, x, timesteps, context, cfg, compute_dtype)
+    outs = []
+    for p in params["layers"]:
+        h = _layer_tp(p, h, emb, cfg, attn_impl, axis)
+        h = h @ p["zero_linear_w"].astype(h.dtype)
+        outs.append(h)
+    return outs
+
+
+def control_warp_forward_tp(main_params, control_params, x, timesteps,
+                            context, cfg: DiTConfig, semantic_feature, *,
+                            axis: str, attn_impl="auto",
+                            compute_dtype=jnp.bfloat16):
+    """ControlDiffWarp.forward under TP (dit_video_concat.py:1196-1200)."""
+    import dataclasses
+
+    ctrl_cfg = dataclasses.replace(cfg, num_layers=cfg.control_layers)
+    ctrl = control_forward_tp(control_params, x, timesteps, context,
+                              ctrl_cfg, semantic_feature, axis=axis,
+                              attn_impl=attn_impl,
+                              compute_dtype=compute_dtype)
+    return forward_tp(main_params, x, timesteps, context, cfg,
+                      control_outputs=ctrl, axis=axis, attn_impl=attn_impl,
+                      compute_dtype=compute_dtype)
 
 
 def control_mlp_adapter_forward(params, x, context, cfg: DiTConfig, *,

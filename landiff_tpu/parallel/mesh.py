@@ -24,6 +24,14 @@ from landiff_tpu.config import MeshConfig
 AXES = ("data", "model", "time")
 
 
+def parse_mesh(spec: str | None) -> MeshConfig:
+    """'data=2,model=4' -> MeshConfig. None -> all devices on data."""
+    if not spec:
+        return MeshConfig(data=len(jax.devices()), model=1)
+    kv = dict(part.split("=") for part in spec.split(","))
+    return MeshConfig(**{k: int(v) for k, v in kv.items()})
+
+
 def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()

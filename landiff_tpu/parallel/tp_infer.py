@@ -1,0 +1,184 @@
+"""Tensor-parallel stage-2 inference: the v5e-8 denoise program.
+
+Replaces the reference's model-parallel inference wiring — SAT mpu process
+groups + broadcast of the initial noise across the MP group
+(landiff/diffusion/arguments.py:215-299, diffusion_video.py:291-297) —
+with an explicit shard_map program over a (data, model) mesh:
+
+  - CFG rows [uncond, cond] ride the `data` axis (the reference runs both
+    rows on every rank; here each data shard computes one row),
+  - transformer weights are Megatron-sharded over `model`
+    (column-parallel qkv/mlp-in, row-parallel attn-out/mlp-out), giving
+    exactly 2 psum all-reduces per layer over ICI,
+  - the Pallas flash-attention kernel runs unchanged per shard on its
+    local heads (shard_map hands it local arrays — no GSPMD guesswork
+    around pallas_call),
+  - 30 heads don't divide tp=4/8: heads are ZERO-PADDED to the next
+    multiple (32). A pad head has zero q/k/v weights and zero attn-out
+    rows, so it contributes exactly nothing (see dit._layer_tp); numerics
+    are bit-comparable to the unsharded model up to reduction order.
+
+The VAE stays on the streaming decode (replicated) or vae_cp over `time`;
+stage 1 decode is latency-bound and replicated (PARITY.md).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from landiff_tpu.config import DiTConfig, SamplerConfig, SemanticCondConfig, \
+    TokenizerConfig
+
+TP_AXIS = "model"
+DATA_AXIS = "data"
+
+# per-leaf-name PartitionSpecs for the tp-prepped layer layout
+_TP_LEAF_SPECS = {
+    "qkv_w": P(None, None, TP_AXIS, None),      # (D, 3, H_pad, Dk)
+    "qkv_b": P(None, TP_AXIS, None),            # (3, H_pad, Dk)
+    "attn_out_w": P(TP_AXIS, None, None),       # (H_pad, Dk, D)
+    "mlp0_w": P(None, TP_AXIS),
+    "mlp0_b": P(TP_AXIS,),
+    "mlp1_w": P(TP_AXIS, None),
+    # attn_out_b / mlp1_b replicated: added AFTER the psum (row-parallel
+    # bias must be applied once, not tp times)
+}
+
+
+def pad_heads(n_heads: int, tp: int) -> int:
+    return int(math.ceil(n_heads / tp) * tp)
+
+
+def prep_layer_tp(p: dict, cfg: DiTConfig, tp: int) -> dict:
+    """Reorganize one DiT layer's params into the head-major tp layout
+    (and zero-pad the head axis up to a multiple of tp)."""
+    D, H, Dk = cfg.hidden_size, cfg.num_heads, cfg.head_dim
+    Hp = pad_heads(H, tp)
+    out = dict(p)
+    qkv = jnp.reshape(p["qkv_w"], (D, 3, H, Dk))
+    out["qkv_w"] = jnp.pad(qkv, ((0, 0), (0, 0), (0, Hp - H), (0, 0)))
+    qkv_b = jnp.reshape(p["qkv_b"], (3, H, Dk))
+    out["qkv_b"] = jnp.pad(qkv_b, ((0, 0), (0, Hp - H), (0, 0)))
+    ao = jnp.reshape(p["attn_out_w"], (H, Dk, D))
+    out["attn_out_w"] = jnp.pad(ao, ((0, Hp - H), (0, 0), (0, 0)))
+    return out
+
+
+def prep_dit_tp(params: dict, cfg: DiTConfig, tp: int) -> dict:
+    out = dict(params)
+    out["layers"] = [prep_layer_tp(p, cfg, tp) for p in params["layers"]]
+    return out
+
+
+def _key_str(k) -> str:
+    return str(getattr(k, "key", getattr(k, "idx", k)))
+
+
+def dit_tp_specs(prepped: dict):
+    """PartitionSpec pytree matching a prep_dit_tp output: layer matmul
+    weights tp-sharded, everything else replicated."""
+    def spec(path, x):
+        keys = [_key_str(k) for k in path]
+        if "layers" in keys:
+            return _TP_LEAF_SPECS.get(keys[-1], P())
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, prepped)
+
+
+def shard_dit_tp(params: dict, cfg: DiTConfig, mesh: Mesh):
+    """prep + place on the mesh. Returns (sharded_params, specs)."""
+    tp = mesh.shape[TP_AXIS]
+    prepped = prep_dit_tp(params, cfg, tp)
+    specs = dit_tp_specs(prepped)
+    sharded = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), prepped,
+        specs)
+    return sharded, specs
+
+
+def make_tp_denoise_fn(params, mesh: Mesh, dit_cfg: DiTConfig,
+                       sampler_cfg: SamplerConfig, tok_cfg: TokenizerConfig,
+                       sem_cfg: SemanticCondConfig, context, uc_context,
+                       semantic_tokens, *, compute_dtype=jnp.bfloat16,
+                       attn_impl="auto"):
+    """Mesh-mode twin of diffusion/engine.make_denoise_fn: same contract
+    (denoise_fn(x, step, bundle) -> fp32 CFG-combined x0 prediction), but
+    the network forward is a shard_map program with DP over the CFG rows
+    and Megatron TP over the transformer (dit.control_warp_forward_tp).
+
+    params: the CogModelInferWrapper dict ({"main","control","semantic"});
+    the semantic feature is computed ONCE (replicated — the conditioner is
+    ~0.2B and runs a single time per video) and its CFG pair is DP-sharded.
+    """
+    from landiff_tpu.diffusion import engine, schedule
+    from landiff_tpu.models import dit as dit_lib
+    from landiff_tpu.models import semantic_cond as sc_lib
+
+    main_tp, main_specs = shard_dit_tp(params["main"], dit_cfg, mesh)
+    ctrl_tp, ctrl_specs = shard_dit_tp(params["control"], dit_cfg, mesh)
+
+    repl = NamedSharding(mesh, P())
+    dsh = NamedSharding(mesh, P(DATA_AXIS))
+    bundle = {
+        "q_alpha": jax.device_put(
+            jnp.asarray(engine.denoiser_quantized_alphas(sampler_cfg),
+                        jnp.float32), repl),
+        "alpha_table": jax.device_put(
+            jnp.asarray(schedule.sampler_tables(sampler_cfg)["alpha"],
+                        jnp.float32), repl),
+        "main": main_tp,
+        "ctx2": jax.device_put(
+            jnp.concatenate([uc_context, context], axis=0), dsh),
+        "control": ctrl_tp,
+    }
+    sem = sc_lib.semantic_feature_from_tokens(
+        params["semantic"], semantic_tokens, tok_cfg, sem_cfg,
+        forward_t=dit_cfg.latent_frames, compute_dtype=compute_dtype)
+    bundle["sem2"] = jax.device_put(jnp.concatenate([sem, sem], axis=0), dsh)
+
+    def local_net(mp, cp, x2, ts, ctx2, sem2):
+        return dit_lib.control_warp_forward_tp(
+            mp, cp, x2, ts, ctx2, dit_cfg, sem2, axis=TP_AXIS,
+            attn_impl=attn_impl, compute_dtype=compute_dtype)
+
+    d = P(DATA_AXIS)
+    net = jax.shard_map(local_net, mesh=mesh,
+                        in_specs=(main_specs, ctrl_specs, d, d, d, d),
+                        out_specs=d, check_vma=False)
+
+    def denoise_fn(x, step, b):
+        B = x.shape[0]
+        alpha = b["q_alpha"][jnp.argmin(jnp.abs(step["alpha"]
+                                                - b["alpha_table"]))]
+        c_skip = alpha
+        c_out = -jnp.sqrt(1.0 - alpha ** 2)
+        x2 = jnp.concatenate([x, x], axis=0)
+        ts = jnp.full((2 * B,), step["timestep"], jnp.float32)
+        net_out = net(b["main"], b["control"], x2.astype(compute_dtype), ts,
+                      b["ctx2"], b["sem2"])
+        denoised = net_out.astype(jnp.float32) * c_out \
+            + x2.astype(jnp.float32) * c_skip
+        x_u, x_c = denoised[:B], denoised[B:]
+        return x_u + step["cfg_scale"] * (x_c - x_u)
+
+    return denoise_fn, bundle
+
+
+def count_hlo_collectives(fn, *args) -> dict:
+    """Diagnostic: compile `fn(*args)` and count the collective ops in the
+    optimized HLO (the measured-program replacement for the analytic
+    projection's assumed collective count)."""
+    compiled = jax.jit(fn).lower(*args).compile()
+    txt = compiled.as_text()
+    return {
+        "all_reduce": txt.count(" all-reduce("),
+        "all_gather": txt.count(" all-gather("),
+        "reduce_scatter": txt.count(" reduce-scatter("),
+        "collective_permute": txt.count(" collective-permute("),
+    }

@@ -50,9 +50,15 @@ class CogModelInferWrapper:
                  tokenizer_dir: str | None = None,
                  compute_dtype=jnp.bfloat16, attn_impl="auto",
                  max_steps_per_call: int | None = None,
-                 require_real_tokenizer: bool = False):
+                 require_real_tokenizer: bool = False,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh with (data, model[, time]) axes —
+        runs the denoise loop as the TP/DP shard_map program
+        (parallel/tp_infer.py), the reference's model-parallel inference
+        mode (diffusion/arguments.py:215-299) rebuilt on ICI collectives."""
         self.params = params
         self.cfg = cfg
+        self.mesh = mesh
         self.compute_dtype = compute_dtype
         self.attn_impl = attn_impl
         if max_steps_per_call is None:
@@ -106,11 +112,19 @@ class CogModelInferWrapper:
                 self.params["vae"], pv, cfg.vae,
                 compute_dtype=self.compute_dtype)
 
-        denoise_fn, bundle = engine.make_denoise_fn(
-            self.params["main"], self.params["control"],
-            self.params["semantic"], cfg.dit, cfg.sampler, cfg.tokenizer,
-            cfg.semantic_cond, context, uc_context, tokens,
-            compute_dtype=self.compute_dtype, attn_impl=self.attn_impl)
+        if self.mesh is not None:
+            from landiff_tpu.parallel import tp_infer
+
+            denoise_fn, bundle = tp_infer.make_tp_denoise_fn(
+                self.params, self.mesh, cfg.dit, cfg.sampler, cfg.tokenizer,
+                cfg.semantic_cond, context, uc_context, tokens,
+                compute_dtype=self.compute_dtype, attn_impl=self.attn_impl)
+        else:
+            denoise_fn, bundle = engine.make_denoise_fn(
+                self.params["main"], self.params["control"],
+                self.params["semantic"], cfg.dit, cfg.sampler, cfg.tokenizer,
+                cfg.semantic_cond, context, uc_context, tokens,
+                compute_dtype=self.compute_dtype, attn_impl=self.attn_impl)
         latents = engine.sample_latents(
             denoise_fn, cfg.sampler, cfg.dit, key=key, bundle=bundle,
             prefix=prefix, max_steps_per_call=self.max_steps_per_call)
@@ -120,9 +134,14 @@ class CogModelInferWrapper:
             # diffusion params to host like the reference's .cpu() move
             jax.block_until_ready(latents)
             self.offload_diffusion_params()
-        video = engine.decode_first_stage(self.params["vae"], latents,
-                                          cfg.vae,
-                                          compute_dtype=self.compute_dtype)
+        if self.mesh is not None and self.mesh.shape.get("time", 1) > 1:
+            video = engine.decode_first_stage_cp(
+                self.params["vae"], latents, cfg.vae, self.mesh,
+                compute_dtype=self.compute_dtype)
+        else:
+            video = engine.decode_first_stage(
+                self.params["vae"], latents, cfg.vae,
+                compute_dtype=self.compute_dtype)
         video = engine.post_process_video(video)
         # fetch as uint8 (4x fewer host-transfer bytes); result keeps the
         # [0,1] float contract, values quantized to the 1/255 steps the

@@ -26,9 +26,12 @@ logger = logging.getLogger("landiff_tpu.infer_video")
 
 def build_pipeline(cfg: LanDiffConfig, sample_cfg: ARSampleConfig,
                    seed: int = 0, ckpt_dir: str | None = None,
-                   compute_dtype=jnp.bfloat16):
+                   compute_dtype=jnp.bfloat16, mesh=None):
     """Returns (llm_wrapper, dif_wrapper). With a checkpoint dir, loads
-    converted weights (ckpt/convert.py); otherwise random-init (smoke)."""
+    converted weights (ckpt/convert.py); otherwise random-init (smoke).
+    mesh: optional Mesh — stage-2 denoising runs the TP/DP shard_map
+    program (parallel/tp_infer.py); stage 1 stays replicated (its decode
+    is weights-bandwidth/latency bound, PARITY.md)."""
     if ckpt_dir is not None:
         from landiff_tpu.ckpt import load as ckpt_load
 
@@ -52,14 +55,15 @@ def build_pipeline(cfg: LanDiffConfig, sample_cfg: ARSampleConfig,
         compute_dtype=compute_dtype, require_real_tokenizer=real)
     dif = dif_infer.CogModelInferWrapper(
         dif_params, cfg, tokenizer_dir=tok_dir, compute_dtype=compute_dtype,
-        require_real_tokenizer=real)
+        require_real_tokenizer=real, mesh=mesh)
     return llm, dif
 
 
 def run(prompt: str, output_dir: str = "results", seed: int = 42,
         cfg_scale: float = 7.5, motion_score: float = 0.1,
         num_frames: int = 13, tiny: bool = False,
-        ckpt_dir: str | None = None, fps: int = 8):
+        ckpt_dir: str | None = None, fps: int = 8,
+        mesh_spec: str | None = None):
     cfg = tiny_test_config() if tiny else LanDiffConfig()
     if tiny and num_frames % cfg.llm.frames_per_segment != 0:
         # tiny config uses a smaller segment; map "one segment" semantics
@@ -68,8 +72,13 @@ def run(prompt: str, output_dir: str = "results", seed: int = 42,
                                 motion_score=motion_score,
                                 num_frames=num_frames, seed=seed)
     dtype = jnp.float32 if tiny else jnp.bfloat16
+    mesh = None
+    if mesh_spec:
+        from landiff_tpu.parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.make_mesh(mesh_lib.parse_mesh(mesh_spec))
     llm, dif = build_pipeline(cfg, sample_cfg, seed, ckpt_dir,
-                              compute_dtype=dtype)
+                              compute_dtype=dtype, mesh=mesh)
 
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -104,7 +113,7 @@ def run(prompt: str, output_dir: str = "results", seed: int = 42,
             key=jax.random.PRNGKey(seed_from_text(prompt, seed)),
             prefix_latents=prefix_latents,
             compute_dtype=dif.compute_dtype,
-            max_steps_per_call=dif.max_steps_per_call)
+            max_steps_per_call=dif.max_steps_per_call, mesh=dif.mesh)
         if os.environ.get("LANDIFF_OFFLOAD") == "1":
             jax.block_until_ready(latents)
             dif.offload_diffusion_params()
@@ -146,6 +155,9 @@ def main():
     parser.add_argument("--tiny", action="store_true",
                         help="tiny random-init config (no ckpts; smoke)")
     parser.add_argument("--fps", type=int, default=8)
+    parser.add_argument("--mesh", default=None,
+                        help="device mesh for multi-chip stage-2, e.g. "
+                             "data=2,model=4 (v5e-8 TP/DP inference)")
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -160,7 +172,7 @@ def main():
                            "(output will be noise) — pass --tiny for smoke")
     res = run(args.prompt, args.output_dir, args.seed, args.cfg_scale,
               args.motion_score, args.num_frames, args.tiny, ckpt_dir,
-              args.fps)
+              args.fps, mesh_spec=args.mesh)
     print(f"stage1 {res['stage1_s']:.1f}s stage2 {res['stage2_s']:.1f}s "
           f"video {res['video'].shape}")
 

@@ -33,11 +33,14 @@ def generate_long_video_latents(params, cfg: LanDiffConfig, context,
                                 sdedit: bool = False,
                                 compute_dtype=jnp.bfloat16,
                                 attn_impl="auto",
-                                max_steps_per_call: int | None = None):
+                                max_steps_per_call: int | None = None,
+                                mesh=None):
     """codes: flat semantic token stream, multiple of tokens-per-segment.
 
     Returns latents (1, T_total, C, H', W') where
     T_total = 13 + (n_segments - 1) * (13 - prefix_latents).
+    mesh: optional Mesh — each segment's denoise loop runs the TP/DP
+    shard_map program (parallel/tp_infer.py).
     """
     t = cfg.tokenizer.titok
     seg_tokens = t.latent_tokens
@@ -51,11 +54,19 @@ def generate_long_video_latents(params, cfg: LanDiffConfig, context,
         key, k_seg = jax.random.split(key)
         tokens = jnp.asarray(codes[seg * seg_tokens:(seg + 1) * seg_tokens]
                              ).reshape(1, -1)
-        denoise_fn, bundle = engine.make_denoise_fn(
-            params["main"], params["control"], params["semantic"], cfg.dit,
-            cfg.sampler, cfg.tokenizer, cfg.semantic_cond, context,
-            uc_context, tokens, compute_dtype=compute_dtype,
-            attn_impl=attn_impl)
+        if mesh is not None:
+            from landiff_tpu.parallel import tp_infer
+
+            denoise_fn, bundle = tp_infer.make_tp_denoise_fn(
+                params, mesh, cfg.dit, cfg.sampler, cfg.tokenizer,
+                cfg.semantic_cond, context, uc_context, tokens,
+                compute_dtype=compute_dtype, attn_impl=attn_impl)
+        else:
+            denoise_fn, bundle = engine.make_denoise_fn(
+                params["main"], params["control"], params["semantic"],
+                cfg.dit, cfg.sampler, cfg.tokenizer, cfg.semantic_cond,
+                context, uc_context, tokens, compute_dtype=compute_dtype,
+                attn_impl=attn_impl)
         if all_latents is None:
             latents = engine.sample_latents(
                 denoise_fn, cfg.sampler, cfg.dit, key=k_seg, bundle=bundle,
