@@ -95,6 +95,7 @@ def _flash_kernel(count_ref,     # SMEM (nq,) int32: visible kv-block count
                   k_hbm,         # ANY  (BH, D, S_kv)  — transposed layout
                   v_hbm,         # ANY  (BH, D, S_kv)
                   o_ref,         # VMEM (1, block_q, D)
+                  lse_ref,       # VMEM (1, block_q, 8) f32 log2 lse
                   k_buf,         # VMEM scratch (2, D, block_kv)
                   v_buf,         # VMEM scratch (2, D, block_kv)
                   sem,           # DMA semaphores (2, 2)
@@ -178,6 +179,19 @@ def _flash_kernel(count_ref,     # SMEM (nq,) int32: visible kv-block count
     m, l, acc = jax.lax.fori_loop(0, nkb, body, (m0, l0, a0))
     out = acc / jnp.maximum(l, 1e-30)
     o_ref[0] = out.astype(o_ref.dtype)
+    _write_lse(lse_ref, m, l)
+
+
+def _write_lse(lse_ref, m, l):
+    """Row logsumexp in log2 units (scores had scale*log2e folded in):
+    L2 = m + log2(l); NEG_INF marks fully-masked rows. Saved by the
+    forward so the flash BACKWARD kernels recompute p = exp2(s - L2)
+    without a second stats pass."""
+    lse = jnp.where(l > 0.0, m + jnp.log2(jnp.maximum(l, 1e-30)), NEG_INF)
+    # (block_q, 8) broadcast: Mosaic requires the last two block dims be
+    # (div 8, div 128) or equal to the array dims — a bare (1, block_q)
+    # row vector is unmappable, so row stats ride an 8-lane minor dim
+    lse_ref[0] = jnp.broadcast_to(lse, (lse.shape[0], 8))
 
 
 def _flash_kernel_cached(count_ref,   # SMEM (nq,) int32
@@ -187,6 +201,7 @@ def _flash_kernel_cached(count_ref,   # SMEM (nq,) int32
                          k_hbm,       # ANY (BH, D, S_kv)
                          v_hbm,       # ANY (BH, D, S_kv)
                          o_ref,       # VMEM (1, block_q, D)
+                         lse_ref,     # VMEM (1, block_q, 8) f32 log2 lse
                          k_cache,     # VMEM scratch (D, S_kv)
                          v_cache,     # VMEM scratch (D, S_kv)
                          sem,         # DMA semaphores (2,)
@@ -243,6 +258,7 @@ def _flash_kernel_cached(count_ref,   # SMEM (nq,) int32
     m, l, acc = jax.lax.fori_loop(0, nkb, body, (m0, l0, a0))
     out = acc / jnp.maximum(l, 1e-30)
     o_ref[0] = out.astype(o_ref.dtype)
+    _write_lse(lse_ref, m, l)
 
 
 def _flash_kernel_cached_i8(count_ref,   # SMEM (nq,) int32
@@ -377,7 +393,7 @@ def _flash_call(q, k, v, count, order, kind, k_scales=None, *, mask_fn,
                 bytes_accessed=BH * (4 * Sq * D + Skv * (3 * D + 4)),
                 transcendentals=BH * Sq * Skv),
             interpret=interpret,
-        )(count, order, kind, q, k, k_scales, v)
+        )(count, order, kind, q, k, k_scales, v), None
     if cached:
         scratch = [
             pltpu.VMEM((D, Skv), q.dtype),
@@ -409,13 +425,17 @@ def _flash_call(q, k, v, count, order, kind, k_scales=None, *, mask_fn,
             pl.BlockSpec(memory_space=pl.ANY),   # K stays in HBM
             pl.BlockSpec(memory_space=pl.ANY),   # V stays in HBM
         ],
-        out_specs=pl.BlockSpec((1, block_q, D), lambda bh, qi, *_: (bh, qi, 0)),
+        out_specs=[
+            pl.BlockSpec((1, block_q, D), lambda bh, qi, *_: (bh, qi, 0)),
+            pl.BlockSpec((1, block_q, 8), lambda bh, qi, *_: (bh, qi, 0)),
+        ],
         scratch_shapes=scratch,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct((BH, Sq, 8), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=semantics),
         cost_estimate=pl.CostEstimate(
@@ -430,7 +450,8 @@ def flash_attention(q, k, v, *, mask_fn=None, scale=None,
                     block_q: int = 512, block_kv: int = 1024,
                     interpret: bool | None = None,
                     int8_scores: bool | None = None,
-                    exp_bf16: bool | None = None):
+                    exp_bf16: bool | None = None,
+                    return_lse: bool = False):
     """Flash attention with optional structured mask.
 
     Args:
@@ -440,7 +461,10 @@ def flash_attention(q, k, v, *, mask_fn=None, scale=None,
         trace time on host for block visibility and inside the kernel for
         partial tiles.
       scale: softmax scale; default 1/sqrt(D).
-    Returns: (B, S, H, D), q.dtype.
+      return_lse: also return the per-row log2-domain logsumexp
+        (B, H, S) f32 — consumed by the Pallas flash backward. Forces the
+        exact-f32 kernels (int8 scores unavailable with lse).
+    Returns: (B, S, H, D) q.dtype; with return_lse a tuple (out, lse).
     """
     B, Sq, H, D = q.shape
     Skv = k.shape[1]
@@ -492,6 +516,8 @@ def flash_attention(q, k, v, *, mask_fn=None, scale=None,
         int8_scores = os.environ.get("LANDIFF_ATTN_INT8") == "1"
     if exp_bf16 is None:
         exp_bf16 = os.environ.get("LANDIFF_ATTN_EXP_BF16") == "1"
+    if return_lse:
+        int8_scores = False
     cache_bytes = 2 * D * Skv_p * q.dtype.itemsize
     cached = (cache_bytes <= _KV_CACHE_VMEM_BUDGET and nq > 1
               and os.environ.get("LANDIFF_ATTN_CACHED", "1") != "0")
@@ -501,20 +527,278 @@ def flash_attention(q, k, v, *, mask_fn=None, scale=None,
                      keepdims=True)                    # (BH, 1, Skv)
         sk = jnp.maximum(sk, 1e-30) / 127.0
         k8 = jnp.round(kt.astype(jnp.float32) / sk).astype(jnp.int8)
-        out = _flash_call(qt, k8, vt, jnp.asarray(count),
-                          jnp.asarray(order), jnp.asarray(kind), sk,
-                          mask_fn=kern_fn, scale=scale, block_q=block_q,
-                          block_kv=block_kv, interpret=interpret,
-                          int8_scores=True, exp_bf16=exp_bf16)
+        out, _ = _flash_call(qt, k8, vt, jnp.asarray(count),
+                             jnp.asarray(order), jnp.asarray(kind), sk,
+                             mask_fn=kern_fn, scale=scale, block_q=block_q,
+                             block_kv=block_kv, interpret=interpret,
+                             int8_scores=True, exp_bf16=exp_bf16)
         out = out[:, :Sq].reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
         return out
 
-    out = _flash_call(qt, kt, vt, jnp.asarray(count), jnp.asarray(order),
-                      jnp.asarray(kind), mask_fn=kern_fn,
-                      scale=scale, block_q=block_q, block_kv=block_kv,
-                      interpret=interpret, cached=cached, exp_bf16=exp_bf16)
+    out, lse = _flash_call(qt, kt, vt, jnp.asarray(count), jnp.asarray(order),
+                           jnp.asarray(kind), mask_fn=kern_fn,
+                           scale=scale, block_q=block_q, block_kv=block_kv,
+                           interpret=interpret, cached=cached,
+                           exp_bf16=exp_bf16)
     out = out[:, :Sq].reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
+    if return_lse:
+        return out, lse[:, :Sq, 0].reshape(B, H, Sq)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash-attention BACKWARD (the flash-attn CUDA backward equivalent,
+# SURVEY §2.9): two kernels sharing the forward's block tables and (D, S)
+# K/V layout —
+#   dq kernel, grid (BH, nq, nk):  recompute s, p = exp2(s - L); dq
+#     accumulates scale * (p*(dpT - delta)) @ k over the visible kv blocks.
+#   dkv kernel, grid (BH, nk, nq): same recompute per (q, kv) tile;
+#     dk += scale * ds^T q, dv += p^T do, accumulated over visible q blocks.
+# p/ds are cast to bf16 for the MXU matmuls (same as the XLA fallback);
+# the row stats come from the forward's saved log2-domain lse (no extra
+# stats pass). Block sparsity rides the prefetched order tables through the
+# BlockSpec index_maps, so invisible tiles are neither fetched nor computed.
+
+_LOG2E = 1.4426950408889634
+
+
+def _bwd_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_fn,
+              scale, q_base, kv_base, is_full):
+    """Shared per-tile recompute: returns (p, ds) f32 (bq, bkv)."""
+    q = (q_ref[0].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
+    k = k_ref[0]                                  # (D, bkv)
+    s = jax.lax.dot_general(q, k, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    keep = None
+    if mask_fn is not None:
+        bq, bkv = s.shape
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+        tile_mask = mask_fn(rows + q_base, cols + kv_base)
+        full = is_full.astype(jnp.float32)
+        keep = jnp.maximum(tile_mask.astype(jnp.float32), full)
+        s = s * keep + NEG_INF * (1.0 - keep)
+    # p = exp2(s - L2) is the exact softmax prob; multiply by keep so
+    # fully-masked rows (L2 = NEG_INF -> s - L2 = 0) stay 0
+    p = jnp.exp2(s - lse_ref[0, :, :1])
+    if keep is not None:
+        p = p * keep
+    dp = jax.lax.dot_general(do_ref[0], v_ref[0], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_ref[0, :, :1])
+    return p, ds
+
+
+def _flash_bwd_dq_kernel(count_ref, order_ref, kind_ref, q_ref, k_hbm_ref,
+                         v_hbm_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                         acc_ref, *, mask_fn, scale, block_q, block_kv,
+                         nk_grid):
+    qi = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(j < count_ref[qi])
+    def _():
+        kj = order_ref[qi, j]
+        p, ds = _bwd_tile(q_ref, k_hbm_ref, v_hbm_ref, do_ref, lse_ref,
+                          delta_ref, mask_fn, scale, qi * block_q,
+                          kj * block_kv, kind_ref[qi, j] == 2)
+        dsb = ds.astype(q_ref.dtype)
+        # dq += ds @ k^T: k is (D, bkv), contract bkv
+        acc_ref[...] += jax.lax.dot_general(
+            dsb, k_hbm_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(j == nk_grid - 1)
+    def _():
+        dq_ref[0] = (acc_ref[...] * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(count_ref, order_ref, kind_ref, q_ref, k_hbm_ref,
+                          v_hbm_ref, do_ref, lse_ref, delta_ref, dk_ref,
+                          dv_ref, dk_acc, dv_acc, *, mask_fn, scale,
+                          block_q, block_kv, nq_grid):
+    kj = pl.program_id(1)
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    @pl.when(i < count_ref[kj])
+    def _():
+        qi = order_ref[kj, i]
+        p, ds = _bwd_tile(q_ref, k_hbm_ref, v_hbm_ref, do_ref, lse_ref,
+                          delta_ref, mask_fn, scale, qi * block_q,
+                          kj * block_kv, kind_ref[kj, i] == 2)
+        pb = p.astype(q_ref.dtype)
+        dsb = ds.astype(q_ref.dtype)
+        # dv += p^T @ do, dk += ds^T @ q: contract the bq dim
+        dv_acc[...] += jax.lax.dot_general(
+            pb, do_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_acc[...] += jax.lax.dot_general(
+            dsb, q_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(i == nq_grid - 1)
+    def _():
+        dk_ref[0] = (dk_acc[...] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mask_fn", "scale", "block_q", "block_kv", "interpret"))
+def _flash_bwd_call(q, k, v, do, lse, delta, *, mask_fn, scale, block_q,
+                    block_kv, interpret):
+    """q/do: (BH, Sq_p, D); k/v: (BH, D, Skv_p); lse/delta: (BH, Sq_p, 8) f32
+    (row stats broadcast over an 8-lane minor dim; see _write-side note).
+    Returns (dq f32, dk f32, dv f32) in the same layouts."""
+    BH, Sqp, D = q.shape
+    Skvp = k.shape[2]
+    nq, nk = Sqp // block_q, Skvp // block_kv
+
+    if mask_fn is None:
+        vis = np.full((nq, nk), 2, np.int8)
+    else:
+        vis = masks_lib.block_visibility(mask_fn, Sqp, Skvp, block_q,
+                                         block_kv)
+
+    def tables(v2):
+        n_rows, n_cols = v2.shape
+        count = np.zeros((n_rows,), np.int32)
+        order = np.zeros((n_rows, n_cols), np.int32)
+        kind = np.zeros((n_rows, n_cols), np.int32)
+        for i in range(n_rows):
+            ids = np.nonzero(v2[i])[0]
+            count[i] = len(ids)
+            order[i, :len(ids)] = ids
+            kind[i, :len(ids)] = v2[i, ids]
+        return jnp.asarray(count), jnp.asarray(order), jnp.asarray(kind)
+
+    cq, oq, kq = tables(vis)          # per-q-block visible kv blocks
+    ck, ok, kk = tables(vis.T)        # per-kv-block visible q blocks
+
+    qspec = pl.BlockSpec((1, block_q, D), lambda bh, qi, j, *_: (bh, qi, 0))
+    rowspec = pl.BlockSpec((1, block_q, 8),
+                           lambda bh, qi, j, *_: (bh, qi, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, mask_fn=mask_fn, scale=scale,
+                          block_q=block_q, block_kv=block_kv, nk_grid=nk),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(BH, nq, nk),
+            in_specs=[
+                qspec,
+                pl.BlockSpec((1, D, block_kv),
+                             lambda bh, qi, j, c, o, kn: (bh, 0, o[qi, j])),
+                pl.BlockSpec((1, D, block_kv),
+                             lambda bh, qi, j, c, o, kn: (bh, 0, o[qi, j])),
+                qspec,
+                rowspec,
+                rowspec,
+            ],
+            out_specs=pl.BlockSpec((1, block_q, D),
+                                   lambda bh, qi, j, *_: (bh, qi, 0)),
+            scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((BH, Sqp, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * BH * Sqp * Skvp * D,
+            bytes_accessed=BH * (3 * Sqp * D + nq * 2 * Skvp * D) * 2,
+            transcendentals=BH * Sqp * Skvp),
+        interpret=interpret,
+    )(cq, oq, kq, q, k, v, do, lse, delta)
+
+    qspec_t = pl.BlockSpec((1, block_q, D),
+                           lambda bh, kj, i, c, o, kn: (bh, o[kj, i], 0))
+    rowspec_t = pl.BlockSpec((1, block_q, 8),
+                             lambda bh, kj, i, c, o, kn: (bh, o[kj, i], 0))
+    kvspec = pl.BlockSpec((1, D, block_kv),
+                          lambda bh, kj, i, *_: (bh, 0, kj))
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, mask_fn=mask_fn,
+                          scale=scale, block_q=block_q, block_kv=block_kv,
+                          nq_grid=nq),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(BH, nk, nq),
+            in_specs=[qspec_t, kvspec, kvspec, qspec_t, rowspec_t,
+                      rowspec_t],
+            out_specs=[
+                pl.BlockSpec((1, block_kv, D), lambda bh, kj, i, *_: (bh, kj, 0)),
+                pl.BlockSpec((1, block_kv, D), lambda bh, kj, i, *_: (bh, kj, 0)),
+            ],
+            scratch_shapes=[pltpu.VMEM((block_kv, D), jnp.float32),
+                            pltpu.VMEM((block_kv, D), jnp.float32)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((BH, Skvp, D), jnp.float32),
+                   jax.ShapeDtypeStruct((BH, Skvp, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * BH * Sqp * Skvp * D,
+            bytes_accessed=BH * (2 * Skvp * D + nk * 3 * Sqp * D) * 2,
+            transcendentals=BH * Sqp * Skvp),
+        interpret=interpret,
+    )(ck, ok, kk, q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+def _flash_bwd_pallas(q, k, v, out, lse, do, mask_fn, scale, *,
+                      block_q=512, block_kv=512, interpret=None):
+    """BSHD-layout driver for the Pallas backward. lse: (B, H, Sq) log2."""
+    B, Sq, H, D = q.shape
+    Skv = k.shape[1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    BH = B * H
+    block_q = min(block_q, masks_lib.round_up(Sq, 128))
+    block_kv = min(block_kv, masks_lib.round_up(Skv, 128))
+    Sqp = masks_lib.round_up(Sq, block_q)
+    Skvp = masks_lib.round_up(Skv, block_kv)
+
+    if mask_fn is None and Skvp == Skv:
+        eff_fn = None
+    elif Skvp != Skv:
+        eff_fn = masks_lib.kv_limit(mask_fn, Skv)
+    else:
+        eff_fn = mask_fn
+
+    qt = _pad_to(q.transpose(0, 2, 1, 3).reshape(BH, Sq, D), Sqp, 1)
+    dot = _pad_to(do.astype(q.dtype).transpose(0, 2, 1, 3)
+                  .reshape(BH, Sq, D), Sqp, 1)
+    kt = _pad_to(k.transpose(0, 2, 3, 1).reshape(BH, D, Skv), Skvp, 2)
+    vt = _pad_to(v.transpose(0, 2, 3, 1).reshape(BH, D, Skv), Skvp, 2)
+    # delta = rowsum(do * o) (natural units); lse arrives log2-domain;
+    # both broadcast onto the 8-lane stat layout the kernels map
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)                               # (B, Sq, H)
+    delta = _pad_to(delta.transpose(0, 2, 1).reshape(BH, Sq), Sqp, 1)
+    delta = jnp.broadcast_to(delta[..., None], (BH, Sqp, 8))
+    lse_p = _pad_to(lse.reshape(BH, Sq), Sqp, 1)
+    lse_p = jnp.broadcast_to(lse_p[..., None], (BH, Sqp, 8))
+
+    dq, dk, dv = _flash_bwd_call(qt, kt, vt, dot, lse_p, delta,
+                                 mask_fn=eff_fn, scale=scale,
+                                 block_q=block_q, block_kv=block_kv,
+                                 interpret=interpret)
+
+    def unprep(x, S):
+        return x[:, :S].reshape(B, H, S, D).transpose(0, 2, 1, 3)
+
+    return (unprep(dq, Sq).astype(q.dtype), unprep(dk, Skv).astype(k.dtype),
+            unprep(dv, Skv).astype(v.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -539,12 +823,24 @@ def _flash_diff(q, k, v, mask_fn, scale):
 
 
 def _flash_diff_fwd(q, k, v, mask_fn, scale):
-    out = flash_attention(q, k, v, mask_fn=mask_fn, scale=scale,
-                          int8_scores=False, exp_bf16=False)
-    return out, (q, k, v, out)
+    out, lse = flash_attention(q, k, v, mask_fn=mask_fn, scale=scale,
+                               int8_scores=False, exp_bf16=False,
+                               return_lse=True)
+    return out, (q, k, v, out, lse)
 
 
-def _flash_diff_bwd(mask_fn, scale, res, do, *, bq=512, bkv=1024):
+def _flash_diff_bwd(mask_fn, scale, res, do):
+    """Dispatch: Pallas flash backward (default) or the XLA double-scan
+    fallback/oracle (LANDIFF_ATTN_BWD=xla)."""
+    import os
+
+    q, k, v, out, lse = res
+    if os.environ.get("LANDIFF_ATTN_BWD", "pallas") != "xla":
+        return _flash_bwd_pallas(q, k, v, out, lse, do, mask_fn, scale)
+    return _flash_diff_bwd_xla(mask_fn, scale, (q, k, v, out), do)
+
+
+def _flash_diff_bwd_xla(mask_fn, scale, res, do, *, bq=512, bkv=1024):
     q, k, v, out = res
     B, Sq, H, D = q.shape
     Skv = k.shape[1]

@@ -204,3 +204,24 @@ def test_flash_backward_fully_masked_rows_zero_grads():
     for g, w in zip((dq, dk, dv), want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("mask_name", [None, "decoder"])
+def test_flash_backward_pallas_matches_xla_fallback(mask_name, monkeypatch):
+    """The Pallas backward kernels (default) and the XLA double-scan
+    fallback (LANDIFF_ATTN_BWD=xla) must agree — the fallback doubles as
+    the gradient oracle on hardware where the kernels misbehave."""
+    mask_fn = {None: None, "decoder": M.video_decoder_mask(LAYOUT)}[mask_name]
+    B, S, H, D = 1, LAYOUT.seq_len, 2, 16
+    q, k, v = _rand_qkv(jax.random.PRNGKey(11), B, S, H, D)
+
+    def loss(q, k, v):
+        return jnp.sum(A._flash_diff(q, k, v, mask_fn, None) ** 2)
+
+    monkeypatch.setenv("LANDIFF_ATTN_BWD", "pallas")
+    got = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.setenv("LANDIFF_ATTN_BWD", "xla")
+    want = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-4)
