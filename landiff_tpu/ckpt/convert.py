@@ -25,17 +25,70 @@ import numpy as np
 logger = logging.getLogger("landiff_tpu.ckpt")
 
 
-def load_torch_file(path: str | Path) -> dict[str, np.ndarray]:
-    """Load .pt/.safetensors into numpy, unwrapping DeepSpeed 'module' and
-    Lightning 'state_dict' envelopes."""
-    path = Path(path)
-    if path.suffix == ".safetensors":
-        from safetensors.numpy import load_file
+_ST_TO_NP = {"F64": "float64", "F32": "float32", "F16": "float16",
+             "I64": "int64", "I32": "int32", "I16": "int16", "I8": "int8",
+             "U8": "uint8", "BOOL": "bool"}
 
-        return dict(load_file(str(path)))
+
+def load_safetensors_views(path: str | Path) -> dict[str, np.ndarray]:
+    """mmap a safetensors file and return ZERO-COPY numpy views into it.
+
+    The multi-GB checkpoints (LLM 7.8 GB, T5-XXL 9 GB) would otherwise be
+    copied twice on this 1-core host (library load + convert); views defer
+    every byte to its single actual use. Views are read-only; converters
+    copy on transform (ascontiguousarray/stack), loaders copy on the jnp
+    cast — nothing downstream mutates in place."""
+    import json as _json
+
+    path = Path(path)
+    with open(path, "rb") as f:
+        n = int.from_bytes(f.read(8), "little")
+        header = _json.loads(f.read(n))
+    data = np.memmap(path, dtype=np.uint8, mode="r", offset=8 + n)
+    out = {}
+    for k, v in header.items():
+        if k == "__metadata__":
+            continue
+        if v["dtype"] == "BF16":
+            import ml_dtypes
+
+            dt = np.dtype(ml_dtypes.bfloat16)
+        else:
+            dt = np.dtype(_ST_TO_NP[v["dtype"]])
+        s, e = v["data_offsets"]
+        out[k] = data[s:e].view(dt).reshape(v["shape"])
+    return out
+
+
+def _torch_to_np(v):
+    """torch tensor -> numpy at NATIVE dtype, zero-copy where possible
+    (fp16 ckpts stay fp16 until the loader's final jnp cast — fp16->bf16
+    directly equals fp16->f32->bf16, and halves host memory traffic)."""
     import torch
 
-    obj = torch.load(str(path), map_location="cpu", weights_only=False)
+    if not hasattr(v, "numpy"):
+        return np.asarray(v)
+    if v.dtype == torch.bfloat16:
+        import ml_dtypes
+
+        return v.view(torch.uint16).numpy().view(ml_dtypes.bfloat16)
+    return v.numpy()
+
+
+def load_torch_file(path: str | Path) -> dict[str, np.ndarray]:
+    """Load .pt/.safetensors into numpy, unwrapping DeepSpeed 'module' and
+    Lightning 'state_dict' envelopes. Zero-copy (mmap-backed views) for
+    both formats; values keep the checkpoint's dtype."""
+    path = Path(path)
+    if path.suffix == ".safetensors":
+        return load_safetensors_views(path)
+    import torch
+
+    try:
+        obj = torch.load(str(path), map_location="cpu", weights_only=False,
+                         mmap=True)
+    except (TypeError, RuntimeError):  # legacy (non-zip) serialization
+        obj = torch.load(str(path), map_location="cpu", weights_only=False)
     if isinstance(obj, dict) and "module" in obj:
         obj = obj["module"]
     if isinstance(obj, dict) and "state_dict" in obj:
@@ -43,8 +96,7 @@ def load_torch_file(path: str | Path) -> dict[str, np.ndarray]:
     # frozen submodules are saved with None values (reference freeze_model,
     # utils.py:256-266) — drop them so they can't shadow real weights when
     # dicts are merged (ControlDiffWarp base-then-override)
-    return {k: v.float().numpy() if hasattr(v, "numpy") else np.asarray(v)
-            for k, v in obj.items() if v is not None}
+    return {k: _torch_to_np(v) for k, v in obj.items() if v is not None}
 
 
 def _lin(sd, key):

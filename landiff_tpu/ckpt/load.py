@@ -39,19 +39,17 @@ def _to_jnp(tree, dtype=None):
 
 
 def load_hf_sharded_safetensors(model_dir: str | Path) -> dict:
-    """Load HF safetensors (single file or sharded with index.json)."""
-    from safetensors.numpy import load_file
-
+    """Load HF safetensors (single file or sharded with index.json) as
+    zero-copy mmap-backed views (convert.load_safetensors_views)."""
     model_dir = Path(model_dir)
     index = model_dir / "model.safetensors.index.json"
     if index.exists():
         weight_map = json.loads(index.read_text())["weight_map"]
         out = {}
         for shard in sorted(set(weight_map.values())):
-            out.update(load_file(str(model_dir / shard)))
+            out.update(convert.load_safetensors_views(model_dir / shard))
         return out
-    single = model_dir / "model.safetensors"
-    return dict(load_file(str(single)))
+    return convert.load_safetensors_views(model_dir / "model.safetensors")
 
 
 def load_stage1(ckpt_dir: str | Path, cfg: LanDiffConfig,

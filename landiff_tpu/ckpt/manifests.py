@@ -336,3 +336,27 @@ def vae_state_dict(cfg: VAEConfig) -> dict[str, tuple]:
     out.update(_vae_norm("decoder.norm_out.", block_in, zq))
     out.update(_causal("decoder.conv_out.", block_in, cfg.out_channels))
     return out
+
+
+def t5_hf_safetensors(cfg) -> dict[str, tuple]:
+    """HF T5EncoderModel key inventory (the frozen text encoders: stage-1
+    google/flan-t5-xxl, stage-2 CogVideoX t5-v1_1-xxl). Keys exactly as
+    models/t5.params_from_hf_state_dict consumes them (encoder. prefix
+    stripped); torch linear layout (out_features, in_features)."""
+    D, F = cfg.d_model, cfg.d_ff
+    inner = cfg.num_heads * cfg.d_kv
+    out = {"shared.weight": (cfg.vocab_size, D),
+           "final_layer_norm.weight": (D,)}
+    for i in range(cfg.num_layers):
+        p = f"block.{i}.layer."
+        for c in ("q", "k", "v"):
+            out[p + f"0.SelfAttention.{c}.weight"] = (inner, D)
+        out[p + "0.SelfAttention.o.weight"] = (D, inner)
+        out[p + "0.layer_norm.weight"] = (D,)
+        out[p + "1.DenseReluDense.wi_0.weight"] = (F, D)
+        out[p + "1.DenseReluDense.wi_1.weight"] = (F, D)
+        out[p + "1.DenseReluDense.wo.weight"] = (D, F)
+        out[p + "1.layer_norm.weight"] = (D,)
+    out["block.0.layer.0.SelfAttention.relative_attention_bias.weight"] = \
+        (cfg.relative_attention_num_buckets, cfg.num_heads)
+    return out

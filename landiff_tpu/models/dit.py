@@ -463,11 +463,14 @@ def init(key, cfg: DiTConfig, *, control: bool = False, dtype=jnp.float32):
                    for _ in range(n_layers)],
         "final_ln_w": jnp.ones((D,), dtype),
         "final_ln_b": jnp.zeros((D,), dtype),
-        "final": {
+        # the control net has EmptyFinalLayerMixin (dit_video_concat.py:
+        # 1241-1372) — no final head params exist in its checkpoint and
+        # control_forward never runs _final_head, so don't create dead ones
+        **({} if control else {"final": {
             "norm_w": jnp.ones((D,), dtype), "norm_b": jnp.zeros((D,), dtype),
             "adaln_w": jnp.zeros((TE, 2 * D), dtype),
             "adaln_b": jnp.zeros((2 * D,), dtype),
             "linear_w": nrm(next(ks), (D, P * P * cfg.out_channels)),
             "linear_b": jnp.zeros((P * P * cfg.out_channels,), dtype),
-        },
+        }}),
     }

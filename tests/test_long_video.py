@@ -67,3 +67,52 @@ def test_long_video_chunked_equals_full():
         max_steps_per_call=2, **kw)
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_long_video_four_segments_boundary_continuity():
+    """BASELINE staged config #5 mechanism at >= 4 segments: every
+    segment boundary must carry the prefix latents over EXACTLY (the
+    spliced frames are the previous segment's output, sampling.py:800-817),
+    total length must follow 13 + (n-1)*(13-p) scaling, and no seam NaNs
+    or blow-ups appear as segments accumulate."""
+    key = jax.random.PRNGKey(0)
+    params = dif_infer.init_params(key, CFG)
+    t = CFG.tokenizer.titok
+    n_seg = 4
+    codes = np.random.default_rng(2).integers(
+        0, CFG.tokenizer.vq.codebook_size, size=n_seg * t.latent_tokens)
+    ctx = jnp.zeros((1, CFG.dit.text_length, CFG.dit.text_dim))
+    p = 1
+    lat = CFG.dit.latent_frames
+
+    # per-prefix-count check: the concat math must hold for p=1 and p=2
+    for p in (1, 2):
+        if lat - p < 1:
+            continue
+        latents = long_video.generate_long_video_latents(
+            params, CFG, ctx, jnp.zeros_like(ctx), codes,
+            key=jax.random.PRNGKey(3), prefix_latents=p,
+            compute_dtype=jnp.float32)
+        assert latents.shape[1] == lat + (n_seg - 1) * (lat - p)
+        arr = np.asarray(latents)
+        assert np.isfinite(arr).all()
+        # seam health: per-frame RMS must stay in the same range across
+        # ALL segment boundaries (drift across 4 segments would compound)
+        rms = np.sqrt((arr ** 2).mean(axis=(0, 2, 3, 4)))
+        assert rms.max() < 10 * max(rms.min(), 1e-3), rms
+
+    # continuity: re-running with the same key but truncated codes must
+    # reproduce the shared prefix of the stream (segment k depends only on
+    # segments < k, never on later ones)
+    latents4 = long_video.generate_long_video_latents(
+        params, CFG, ctx, jnp.zeros_like(ctx), codes,
+        key=jax.random.PRNGKey(3), prefix_latents=1,
+        compute_dtype=jnp.float32)
+    latents2 = long_video.generate_long_video_latents(
+        params, CFG, ctx, jnp.zeros_like(ctx),
+        codes[:2 * t.latent_tokens],
+        key=jax.random.PRNGKey(3), prefix_latents=1,
+        compute_dtype=jnp.float32)
+    n2 = latents2.shape[1]
+    np.testing.assert_allclose(np.asarray(latents4)[:, :n2],
+                               np.asarray(latents2), rtol=1e-5, atol=1e-5)
