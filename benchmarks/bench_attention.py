@@ -1,7 +1,12 @@
 """Attention kernel microbench at DiT shapes (B=2 CFG, H=30, S=18002,
 D=64) on the real chip: pallas cached-K/V vs streaming vs XLA dense.
 
-Usage: python benchmarks/bench_attention.py [S] [iters]
+Usage: python benchmarks/bench_attention.py [S] [iters] [B] [H]
+
+The TP=4 per-chip shard shape (VERDICT r2 #7) is B=1 (CFG rows DP over
+data=2), H=8 (30 heads zero-padded to 32, /4): `bench_attention.py 17776
+3 1 8`; feed the per-call ms to bench.py via LANDIFF_BENCH_TP_ATTN_MS so
+the v5e-8 projection uses a MEASURED sharded kernel time.
 """
 
 import os
@@ -15,10 +20,10 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/landiff_jax_cache")
 
 
-def run(S=18002, iters=3):
+def run(S=18002, iters=3, B=2, H=30):
     from landiff_tpu.ops import attention as attn
 
-    B, H, D = 2, 30, 64
+    D = 64
     key = jax.random.PRNGKey(0)
     q = jax.random.normal(key, (B, S, H, D), jnp.bfloat16)
     k = jax.random.normal(jax.random.PRNGKey(1), (B, S, H, D), jnp.bfloat16)
@@ -79,4 +84,6 @@ def run(S=18002, iters=3):
 if __name__ == "__main__":
     S = int(sys.argv[1]) if len(sys.argv) > 1 else 18002
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    run(S, iters)
+    B = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    H = int(sys.argv[4]) if len(sys.argv) > 4 else 30
+    run(S, iters, B, H)

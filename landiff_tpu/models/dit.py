@@ -224,6 +224,23 @@ def _embed_inputs(params, x, timesteps, context, cfg: DiTConfig,
     return h, e
 
 
+def _remat_policy():
+    """Remat policy for the per-layer checkpoint. LANDIFF_REMAT_SAVE_ATTN=1
+    saves the flash kernel's out/lse (tagged in ops/attention.
+    _flash_diff_fwd, ~71 MB/layer) so the backward recomputes only the
+    cheap projections, not the attention kernel (~45 ms/layer at
+    production shapes). Costs ~3.2 GB of residuals over 45 layers: OOMs a
+    single 16 GB v5e at full shapes (measured: 19.2 GB needed), but is
+    the right default once DP/ZeRO sharding shrinks per-chip state —
+    multi-chip training enables it in training/train.py."""
+    import os
+
+    if os.environ.get("LANDIFF_REMAT_SAVE_ATTN") == "1":
+        return jax.checkpoint_policies.save_only_these_names(
+            "flash_out", "flash_lse")
+    return None
+
+
 def forward(params, x, timesteps, context, cfg: DiTConfig, *,
             control_outputs=None, attn_impl="auto",
             compute_dtype=jnp.bfloat16, remat=False):
@@ -242,8 +259,13 @@ def forward(params, x, timesteps, context, cfg: DiTConfig, *,
     if remat:
         # gradient checkpointing per layer: a 30L backward at S=17776
         # holds ~full-sequence activations per layer otherwise and OOMs a
-        # 16 GB chip; remat trades ~1/3 more FLOPs for O(1-layer) memory
-        layer_fn = jax.checkpoint(_layer, static_argnums=(3, 4))
+        # 16 GB chip; remat trades ~1/3 more FLOPs for O(1-layer) memory.
+        # The policy SAVES the flash kernel's out/lse (~71 MB/layer,
+        # tagged in ops/attention._flash_diff_fwd) so the backward pass
+        # recomputes only the cheap projections, not the attention kernel
+        # (~45 ms/layer at production shapes)
+        layer_fn = jax.checkpoint(_layer, static_argnums=(3, 4),
+                                  policy=_remat_policy())
     for i, p in enumerate(params["layers"]):
         h = layer_fn(p, h, emb, cfg, attn_impl)
         if control_outputs is not None and i < len(control_outputs):
@@ -281,7 +303,8 @@ def control_forward(params, x, timesteps, context, cfg: DiTConfig,
     outputs (full [text|video] sequences)."""
     x = x.astype(compute_dtype) + semantic_feature.astype(compute_dtype)
     h, emb = _embed_inputs(params, x, timesteps, context, cfg, compute_dtype)
-    layer_fn = (jax.checkpoint(_layer, static_argnums=(3, 4)) if remat
+    layer_fn = (jax.checkpoint(_layer, static_argnums=(3, 4),
+                               policy=_remat_policy()) if remat
                 else _layer)
     outs = []
     for p in params["layers"]:

@@ -268,6 +268,17 @@ def _decode_jit(params, z, cfg, cache, stream, compute_dtype):
                   compute_dtype=compute_dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def _decode_jit_final(params, z, cfg, cache, compute_dtype):
+    # LAST chunk: stream=False emits no cache output, so a donated input
+    # cache has nothing to alias with and XLA warns "donated buffers were
+    # not usable". The cache is still live input state (conv tails read
+    # mid-program), so donation could not have saved memory here anyway —
+    # use a non-donating program instead of donating into the void.
+    return decode(params, z, cfg, cache=cache, stream=False,
+                  compute_dtype=compute_dtype)
+
+
 def decode_streaming(params, z, cfg: VAEConfig, compute_dtype=jnp.bfloat16,
                      first_chunk: int = 3):
     """Serial chunked decode (dif_infer.py:245-271): latent windows
@@ -305,8 +316,12 @@ def decode_streaming(params, z, cfg: VAEConfig, compute_dtype=jnp.bfloat16,
     host_stage = os.environ.get("LANDIFF_VAE_HOST_STAGE", "0") == "1"
     for ci, (a, b) in enumerate(chunks):
         last = ci == len(chunks) - 1
-        out, cache = _decode_jit(params, z[:, :, a:b], cfg, cache,
-                                 not last, compute_dtype)
+        if last:
+            out, cache = _decode_jit_final(params, z[:, :, a:b], cfg,
+                                           cache, compute_dtype)
+        else:
+            out, cache = _decode_jit(params, z[:, :, a:b], cfg, cache,
+                                     True, compute_dtype)
         out = out.astype(jnp.float32)
         if host_stage:
             import numpy as np
