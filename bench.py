@@ -171,13 +171,21 @@ def bench_mesh():
     cfg = dataclasses.replace(
         tiny, dit=dataclasses.replace(tiny.dit, hidden_size=480,
                                       num_heads=30))
+    from landiff_tpu.utils import fill_zero_leaves
+
     key = jax.random.PRNGKey(0)
+    # fill the zero-init gates so the sharded-vs-single comparison actually
+    # exercises the attention/MLP/control paths (utils.fill_zero_leaves)
     params = {
-        "main": dit_lib.init(key, cfg.dit),
-        "control": dit_lib.init(jax.random.PRNGKey(1), cfg.dit,
-                                control=True),
-        "semantic": sc_lib.init(jax.random.PRNGKey(2), cfg.tokenizer,
-                                cfg.semantic_cond),
+        "main": fill_zero_leaves(dit_lib.init(key, cfg.dit),
+                                 jax.random.PRNGKey(20), scale=0.05),
+        "control": fill_zero_leaves(
+            dit_lib.init(jax.random.PRNGKey(1), cfg.dit, control=True),
+            jax.random.PRNGKey(21), scale=0.05),
+        "semantic": fill_zero_leaves(
+            sc_lib.init(jax.random.PRNGKey(2), cfg.tokenizer,
+                        cfg.semantic_cond),
+            jax.random.PRNGKey(22), scale=0.05),
     }
     x = jax.random.normal(jax.random.PRNGKey(3),
                           (1, cfg.dit.latent_frames, cfg.dit.in_channels,
@@ -210,14 +218,19 @@ def bench_mesh():
 
     # ---- projection (full-size shapes, the counted collectives) ----
     full = DiTConfig()
-    single_ms = float(os.environ.get("LANDIFF_BENCH_SINGLE_MS", "4630.0"))
-    # optional refinement: measured per-chip attention time at the TP=4
-    # shard shape (H=8 after padding; benchmarks/bench_attention.py). When
-    # given, the attention part of the step scales by the MEASURED sharded
-    # kernel time instead of the ideal 1/8.
-    tp_attn_ms = os.environ.get("LANDIFF_BENCH_TP_ATTN_MS")
+    # r3 defaults, all MEASURED on 1x v5e (int8-scores inference default):
+    #   single_ms 4394 = the full single-chip CFG step (BENCH r3)
+    #   single_attn_ms 3547 = r2 attention probe 3780 minus the int8 step
+    #     saving (4627-4394), i.e. the int8 attention share of the step
+    #   tp_attn_ms 11.69 = int8 kernel at the TP=4 per-chip shard shape
+    #     (B=1, H=8 padded, S=17776), depth-16 chained so the ~35 ms
+    #     tunnel dispatch is amortized off the per-call time — 55 TFLOP/s,
+    #     ~90% of ideal 1/8-scaling (benchmarks/bench_attention.py 17776
+    #     3 1 8 with LANDIFF_ATTN_INT8=1)
+    single_ms = float(os.environ.get("LANDIFF_BENCH_SINGLE_MS", "4394.0"))
+    tp_attn_ms = os.environ.get("LANDIFF_BENCH_TP_ATTN_MS", "11.69")
     single_attn_ms = float(os.environ.get("LANDIFF_BENCH_SINGLE_ATTN_MS",
-                                          "3780.0"))  # measured probe (r2)
+                                          "3547.0"))
     n_chips, tp = 8, 4
     S = full.text_length + full.latent_frames \
         * (full.latent_height // full.patch_size) \

@@ -31,13 +31,19 @@ def run(S=18002, iters=3, B=2, H=30):
 
     flops = 4 * B * H * S * S * D
 
+    # chain depth: amortize the ~30-40 ms per-execution tunnel dispatch
+    # overhead below ~5% of the measured time (a depth of 2 puts ~15-20 ms
+    # of host overhead on EACH call — at the TP=4 shard shape that more
+    # than doubles the apparent kernel time); keep executions <= ~10 s
+    depth = int(os.environ.get("LANDIFF_BENCH_CHAIN", "16"))
+
     def bench(name, fn):
         # chain calls on-device; fetch a scalar
         @jax.jit
         def chained(q, k, v):
             def body(_, qc):
                 return fn(qc, k, v).astype(jnp.bfloat16)
-            out = jax.lax.fori_loop(0, 2, body, q)
+            out = jax.lax.fori_loop(0, depth, body, q)
             return jnp.sum(out.astype(jnp.float32))
 
         t0 = time.time()
@@ -47,7 +53,7 @@ def run(S=18002, iters=3, B=2, H=30):
         for _ in range(iters):
             t = time.time()
             float(np.asarray(chained(q, k, v)))
-            ts.append((time.time() - t) / 2)
+            ts.append((time.time() - t) / depth)
         ms = sorted(ts)[len(ts) // 2] * 1e3
         print(f"{name}: {ms:.1f} ms/call ({flops / (ms / 1e3) / 1e12:.1f} "
               f"TFLOP/s), compile {compile_s:.0f}s", flush=True)

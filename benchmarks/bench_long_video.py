@@ -7,7 +7,13 @@ sampling.py:800-817 + dif_infer.py:245-271).
 Warm timing (per-segment diffusion programs + VAE chunk programs compiled
 by a first full pass). Prints ONE JSON line.
 
-Env: LANDIFF_LV_SEGMENTS (default 2), LANDIFF_E2E_CHUNK (default 5).
+Env: LANDIFF_LV_SEGMENTS (default 2), LANDIFF_E2E_CHUNK (default 5),
+LANDIFF_LV_WARM_SEGMENTS (default = LANDIFF_LV_SEGMENTS) — the warm pass
+only needs to compile both segment programs (the seg-0 program and the
+prefix-conditioned program used by every later segment), so 2 warm
+segments suffice for an N-segment timed run (BASELINE staged config #5
+is 200+ frames = 8 segments; a full 8-segment warm pass would waste
+~35 min of device time re-running already-compiled programs).
 """
 
 import json
@@ -29,6 +35,7 @@ def main():
     cfg = LanDiffConfig()
     dt = jnp.bfloat16
     n_seg = int(os.environ.get("LANDIFF_LV_SEGMENTS", "2"))
+    n_warm = int(os.environ.get("LANDIFF_LV_WARM_SEGMENTS", str(n_seg)))
     chunk = int(os.environ.get("LANDIFF_E2E_CHUNK", "5"))
     os.environ.setdefault("LANDIFF_VAE_FIRST_CHUNK", "1")
 
@@ -49,16 +56,28 @@ def main():
         jax.random.PRNGKey(2), (n_seg * seg_tokens,), 0,
         cfg.tokenizer.vq.codebook_size))
 
-    def gen(key):
+    def gen(key, ncodes, seg_times=None):
+        marks = [time.time()]
+
+        def on_segment(seg, lat):
+            marks.append(time.time())
+            if seg_times is not None:
+                seg_times.append(round(marks[-1] - marks[-2], 2))
+            print(f"  segment {seg + 1}: {marks[-1] - marks[-2]:.1f}s "
+                  f"latents {lat.shape}", flush=True)
+
         t0 = time.time()
         latents = long_video.generate_long_video_latents(
-            dif_params, cfg, ctx, jnp.zeros_like(ctx), codes, key=key,
-            compute_dtype=dt, attn_impl="pallas", max_steps_per_call=chunk)
+            dif_params, cfg, ctx, jnp.zeros_like(ctx), codes[:ncodes],
+            key=key, compute_dtype=dt, attn_impl="pallas",
+            max_steps_per_call=chunk, on_segment=on_segment)
         jax.block_until_ready(latents)
         return time.time() - t0, latents
 
-    gen(jax.random.PRNGKey(3))                      # compile + warm
-    t_diff, latents = gen(jax.random.PRNGKey(4))
+    # warm pass compiles BOTH segment programs (seg 0 + prefix-conditioned)
+    gen(jax.random.PRNGKey(3), n_warm * seg_tokens)
+    seg_times = []
+    t_diff, latents = gen(jax.random.PRNGKey(4), len(codes), seg_times)
     lat_np = np.asarray(latents)
 
     # free the ~6 GB diffusion-side params before the VAE decode — the
@@ -87,6 +106,7 @@ def main():
         "segments": n_seg,
         "phases": {"chunked_diffusion": round(t_diff, 2),
                    "streaming_vae": round(t_vae, 2)},
+        "segment_s": seg_times,
         "latents": list(lat_np.shape), "video": list(vid_shape),
     }))
 

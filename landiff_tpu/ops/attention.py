@@ -691,7 +691,14 @@ def _flash_bwd_call(q, k, v, do, lse, delta, *, mask_fn, scale, block_q,
                    jax.ShapeDtypeStruct((BH, Skvp, D), jnp.float32),
                    jax.ShapeDtypeStruct((BH, Skvp, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            # The full-size dq accumulator ((Sq_p, D) f32 ≈ 4.6 MB at
+            # production shapes, double-buffered across bh by Mosaic) plus
+            # the (bq, bkv) f32 tile intermediates need ~20 MB of scoped
+            # VMEM — over the 16 MB default but a small slice of the 128 MB
+            # physical VMEM, so raise the per-kernel limit instead of
+            # shrinking tiles (smaller tiles cost MXU efficiency).
+            vmem_limit_bytes=48 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=10 * BH * Sqp * Skvp * D,
             bytes_accessed=BH * (4 * Sqp * D + 2 * Skvp * D * 2
@@ -762,18 +769,24 @@ def _flash_bwd_pallas(q, k, v, out, lse, do, mask_fn, scale, *,
 # the forward stays the Pallas kernel).
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _flash_diff(q, k, v, mask_fn, scale):
-    # int8/bf16-exp inference knobs are pinned OFF: the backward recomputes
-    # exact f32 scores, so an approximate forward would produce a silent
-    # forward/gradient mismatch during training.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_diff(q, k, v, mask_fn, scale, int8_scores=False):
+    # PRIMAL (inference) path: int8 scores allowed when requested — the
+    # denoise loop is never differentiated, and the quantized kernel is
+    # 1.065x with end-output corr ≥ 0.9999 vs exact (gated by
+    # tests/test_attention_int8_drift.py). exp_bf16 stays off (measured
+    # slower, PARITY.md).
     return flash_attention(q, k, v, mask_fn=mask_fn, scale=scale,
-                           int8_scores=False, exp_bf16=False)
+                           int8_scores=int8_scores, exp_bf16=False)
 
 
-def _flash_diff_fwd(q, k, v, mask_fn, scale):
+def _flash_diff_fwd(q, k, v, mask_fn, scale, int8_scores=False):
     from jax.ad_checkpoint import checkpoint_name
 
+    # DIFFERENTIATED path: exact f32 scores regardless of int8_scores /
+    # env knobs — the backward recomputes exact scores from the saved lse,
+    # so an approximate forward would silently mismatch its own gradients
+    # (advisor r2 finding). Training numerics are always exact.
     out, lse = flash_attention(q, k, v, mask_fn=mask_fn, scale=scale,
                                int8_scores=False, exp_bf16=False,
                                return_lse=True)
@@ -787,9 +800,10 @@ def _flash_diff_fwd(q, k, v, mask_fn, scale):
     return out, (q, k, v, out, lse)
 
 
-def _flash_diff_bwd(mask_fn, scale, res, do):
+def _flash_diff_bwd(mask_fn, scale, int8_scores, res, do):
     """Dispatch: Pallas flash backward (default) or the XLA double-scan
-    fallback/oracle (LANDIFF_ATTN_BWD=xla)."""
+    fallback/oracle (LANDIFF_ATTN_BWD=xla). int8_scores is a nondiff arg
+    of the primal only — the backward is always exact f32."""
     import os
 
     q, k, v, out, lse = res
@@ -905,15 +919,25 @@ _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
 
 
 def attention(q, k, v, *, mask_fn=None, mask=None, scale=None,
-              impl: str = "auto"):
+              impl: str = "auto", int8_scores: bool | None = None):
     """Dispatcher. impl: 'auto' (pallas on TPU for long sequences, xla
     elsewhere / for short ones where the dense S^2 fits easily), 'xla',
     'pallas'. The pallas path is differentiable: forward is the Pallas
-    kernel, backward the chunked flash backward above."""
+    kernel, backward the fused Pallas flash backward above.
+
+    int8_scores: quantize the scores matmul at INFERENCE (the primal path
+    only — anything under jax.grad always computes exact f32 scores, see
+    _flash_diff_fwd). Default ON on TPU (1.065x, end-output corr ≥ 0.9999
+    gated by tests/test_attention_int8_drift.py); LANDIFF_ATTN_INT8=0
+    opts out."""
     if impl == "auto":
         impl = ("pallas" if jax.default_backend() == "tpu"
                 and q.shape[1] >= 2048 else "xla")
     if impl == "xla":
         return mha_reference(q, k, v, mask=mask, scale=scale, mask_fn=mask_fn)
     assert mask is None, "pallas path takes mask_fn, not dense mask"
-    return _flash_diff(q, k, v, mask_fn, scale)
+    if int8_scores is None:
+        import os
+
+        int8_scores = os.environ.get("LANDIFF_ATTN_INT8", "1") == "1"
+    return _flash_diff(q, k, v, mask_fn, scale, bool(int8_scores))

@@ -34,13 +34,16 @@ def generate_long_video_latents(params, cfg: LanDiffConfig, context,
                                 compute_dtype=jnp.bfloat16,
                                 attn_impl="auto",
                                 max_steps_per_call: int | None = None,
-                                mesh=None):
+                                mesh=None, on_segment=None):
     """codes: flat semantic token stream, multiple of tokens-per-segment.
 
     Returns latents (1, T_total, C, H', W') where
     T_total = 13 + (n_segments - 1) * (13 - prefix_latents).
     mesh: optional Mesh — each segment's denoise loop runs the TP/DP
     shard_map program (parallel/tp_infer.py).
+    on_segment: optional callback (seg_index, latents) invoked after each
+    segment's device work completes (latents blocked) — per-segment
+    timing/progress hooks for the 200+ frame runs.
     """
     t = cfg.tokenizer.titok
     seg_tokens = t.latent_tokens
@@ -80,6 +83,9 @@ def generate_long_video_latents(params, cfg: LanDiffConfig, context,
                 max_steps_per_call=max_steps_per_call)
             all_latents = jnp.concatenate(
                 [all_latents, latents[:, prefix_latents:]], axis=1)
+        if on_segment is not None:
+            jax.block_until_ready(all_latents)
+            on_segment(seg, all_latents)
         logger.info("segment %d/%d: latents %s", seg + 1, n_seg,
                     all_latents.shape)
     return all_latents

@@ -96,6 +96,28 @@ def tree_cast(params, dtype):
         params)
 
 
+def fill_zero_leaves(tree, key, scale: float = 0.02):
+    """Replace all-zero floating array leaves with small random normals.
+
+    Test/bench helper: LanDiff zero-inits its gating params (DiT adaLN
+    tables, ControlNet zero_linears, semantic-conditioner conv_out —
+    dit_video_concat.py:1210-1218, cogvideox yaml zero-init convention),
+    so a freshly-`init`ed model's output is INDEPENDENT of the attention /
+    MLP / control subpaths — gates multiply them by exactly 0. Any parity
+    check (TP sharding, quantized kernels) run on raw init params would
+    pass vacuously. Fill the zeros before asserting parity."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    keys = jax.random.split(key, max(len(leaves), 1))
+    out = []
+    for k, leaf in zip(keys, leaves):
+        if (hasattr(leaf, "dtype") and hasattr(leaf, "shape")
+                and jnp.issubdtype(leaf.dtype, jnp.floating)
+                and leaf.size > 0 and not bool(jnp.any(leaf != 0))):
+            leaf = jax.random.normal(k, leaf.shape, leaf.dtype) * scale
+        out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def freeze_tree(params):
     """Gradient-freeze a param subtree (the reference's freeze_model,
     utils.py:220-275, whose purpose is (a) no grads and (b) exclusion from

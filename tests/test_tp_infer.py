@@ -24,17 +24,27 @@ def _mesh(data=2, model=4):
 
 
 def _params_and_inputs(cfg_full, key=0):
+    from landiff_tpu.utils import fill_zero_leaves
+
     k = jax.random.PRNGKey(key)
     ks = jax.random.split(k, 4)
     dit_cfg = cfg_full.dit
+    # fill_zero_leaves: raw init zero-gates the attention/MLP/control
+    # subpaths (adaLN + zero_linear convention), which would make this TP
+    # parity check vacuous — the sharded qkv/attention/head-padding logic
+    # must actually contribute to the compared output
     params = {
-        "main": dit_lib.init(ks[0], dit_cfg),
-        "control": dit_lib.init(ks[1], dit_cfg, control=True),
+        "main": fill_zero_leaves(dit_lib.init(ks[0], dit_cfg),
+                                 jax.random.PRNGKey(20), scale=0.05),
+        "control": fill_zero_leaves(
+            dit_lib.init(ks[1], dit_cfg, control=True),
+            jax.random.PRNGKey(21), scale=0.05),
     }
     from landiff_tpu.models import semantic_cond as sc_lib
 
-    params["semantic"] = sc_lib.init(ks[2], cfg_full.tokenizer,
-                                     cfg_full.semantic_cond)
+    params["semantic"] = fill_zero_leaves(
+        sc_lib.init(ks[2], cfg_full.tokenizer, cfg_full.semantic_cond),
+        jax.random.PRNGKey(22), scale=0.05)
     x = jax.random.normal(ks[3], (1, dit_cfg.latent_frames,
                                   dit_cfg.in_channels, dit_cfg.latent_height,
                                   dit_cfg.latent_width), jnp.float32)
