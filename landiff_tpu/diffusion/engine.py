@@ -67,6 +67,35 @@ def make_denoise_fn(main_params, control_params, sem_params, dit_cfg: DiTConfig,
             forward_t=dit_cfg.latent_frames, compute_dtype=compute_dtype)
         bundle["control"] = control_params
 
+    return _denoise_fn_for(dit_cfg, compute_dtype, attn_impl), bundle
+
+
+def update_bundle_tokens(bundle, sem_params, semantic_tokens,
+                         dit_cfg: DiTConfig, tok_cfg: TokenizerConfig,
+                         sem_cfg: SemanticCondConfig, *,
+                         compute_dtype=jnp.bfloat16):
+    """Per-segment bundle refresh for long-video runs: recompute ONLY the
+    semantic feature for the new segment's tokens; params / context /
+    schedule tables are shared across segments (pipeline/long_video.py)."""
+    b = dict(bundle)
+    b["sem_feature"] = sc_lib.semantic_feature_from_tokens(
+        sem_params, semantic_tokens, tok_cfg, sem_cfg,
+        forward_t=dit_cfg.latent_frames, compute_dtype=compute_dtype)
+    return b
+
+
+@functools.lru_cache(maxsize=8)
+def _denoise_fn_for(dit_cfg: DiTConfig, compute_dtype, attn_impl):
+    """The per-step denoise closure, cached on its ONLY real dependencies.
+
+    Everything per-call (params, conditioning, schedule tables) rides in
+    the bundle argument, so one function object serves every segment of a
+    long-video run and every warm/timed pass — which lets the sampler's
+    jitted chunk program (samplers._dpmpp2m_chunk_program, keyed on
+    denoise_fn identity) be traced ONCE per process instead of once per
+    sample_latents call (a fresh closure per segment re-traced the full
+    45-layer DiT, seconds of host time per segment)."""
+
     def denoise_fn(x, step, b):
         B = x.shape[0]
         # DiscreteDenoiser sigma quantization: nearest 1000-table entry
@@ -91,7 +120,7 @@ def make_denoise_fn(main_params, control_params, sem_params, dit_cfg: DiTConfig,
         x_u, x_c = denoised[:B], denoised[B:]
         return x_u + step["cfg_scale"] * (x_c - x_u)
 
-    return denoise_fn, bundle
+    return denoise_fn
 
 
 def sample_latents(denoise_fn, sampler_cfg: SamplerConfig, dit_cfg: DiTConfig,

@@ -53,23 +53,39 @@ def generate_long_video_latents(params, cfg: LanDiffConfig, context,
     lat_frames = cfg.dit.latent_frames
 
     all_latents = None
+    denoise_fn = bundle = None
     for seg in range(n_seg):
         key, k_seg = jax.random.split(key)
         tokens = jnp.asarray(codes[seg * seg_tokens:(seg + 1) * seg_tokens]
                              ).reshape(1, -1)
+        # build the denoise program ONCE; per segment only the semantic
+        # feature changes — params stay placed and the sampler's jitted
+        # chunk program (cached on denoise_fn identity) is traced once
         if mesh is not None:
             from landiff_tpu.parallel import tp_infer
 
-            denoise_fn, bundle = tp_infer.make_tp_denoise_fn(
-                params, mesh, cfg.dit, cfg.sampler, cfg.tokenizer,
-                cfg.semantic_cond, context, uc_context, tokens,
-                compute_dtype=compute_dtype, attn_impl=attn_impl)
+            if denoise_fn is None:
+                denoise_fn, bundle = tp_infer.make_tp_denoise_fn(
+                    params, mesh, cfg.dit, cfg.sampler, cfg.tokenizer,
+                    cfg.semantic_cond, context, uc_context, tokens,
+                    compute_dtype=compute_dtype, attn_impl=attn_impl)
+            else:
+                bundle = tp_infer.update_tp_bundle(
+                    bundle, mesh, params["semantic"], tokens, cfg.dit,
+                    cfg.tokenizer, cfg.semantic_cond,
+                    compute_dtype=compute_dtype)
         else:
-            denoise_fn, bundle = engine.make_denoise_fn(
-                params["main"], params["control"], params["semantic"],
-                cfg.dit, cfg.sampler, cfg.tokenizer, cfg.semantic_cond,
-                context, uc_context, tokens, compute_dtype=compute_dtype,
-                attn_impl=attn_impl)
+            if denoise_fn is None:
+                denoise_fn, bundle = engine.make_denoise_fn(
+                    params["main"], params["control"], params["semantic"],
+                    cfg.dit, cfg.sampler, cfg.tokenizer, cfg.semantic_cond,
+                    context, uc_context, tokens, compute_dtype=compute_dtype,
+                    attn_impl=attn_impl)
+            else:
+                bundle = engine.update_bundle_tokens(
+                    bundle, params["semantic"], tokens, cfg.dit,
+                    cfg.tokenizer, cfg.semantic_cond,
+                    compute_dtype=compute_dtype)
         if all_latents is None:
             latents = engine.sample_latents(
                 denoise_fn, cfg.sampler, cfg.dit, key=k_seg, bundle=bundle,
