@@ -51,6 +51,10 @@ def main():
     key = jax.random.PRNGKey(0)
     main_p = dit_lib.init(key, cfg, dtype=dt)
     ctrl_p = dit_lib.init(jax.random.PRNGKey(1), cfg, control=True, dtype=dt)
+    if os.environ.get("LANDIFF_DIT_INT8") == "1":
+        # W8A8 int8 linears (dit.quantize_int8; drift-gated opt-in)
+        main_p = dit_lib.quantize_int8(main_p)
+        ctrl_p = dit_lib.quantize_int8(ctrl_p)
 
     B = 2  # CFG batch [uncond, cond]
     x = jax.random.normal(jax.random.PRNGKey(2),

@@ -92,6 +92,10 @@ def _phase_diffusion():
     main_p = dit_lib.init(jax.random.PRNGKey(3), cfg.dit, dtype=dt)
     ctrl_p = dit_lib.init(jax.random.PRNGKey(4), cfg.dit, control=True,
                           dtype=dt)
+    if os.environ.get("LANDIFF_DIT_INT8") == "1":
+        # W8A8 int8 linears (dit.quantize_int8; drift-gated opt-in)
+        main_p = dit_lib.quantize_int8(main_p)
+        ctrl_p = dit_lib.quantize_int8(ctrl_p)
     sem_p = sc_lib.init(jax.random.PRNGKey(5), cfg.tokenizer,
                         cfg.semantic_cond, dtype=dt)
     denoise_fn, bundle = engine.make_denoise_fn(

@@ -91,8 +91,58 @@ def pos_embed_table(cfg: DiTConfig) -> np.ndarray:
 # layers
 
 
+def _w8a8_matmul(x, q, s):
+    """int8 x int8 MXU matmul: per-token dynamic activation scales x
+    per-output-channel weight scales, s32 accumulation.
+
+    The v5e MXU's int8 peak is 2x bf16 (~394 vs ~197 T/s) and the DiT's
+    big linears are MXU-bound at ~82 TFLOP/s bf16 (PARITY.md), so W8A8
+    roughly halves their time. The reference has no quantized inference
+    path (SURVEY §2.9 lists only bf16 autocast); this is a TPU-side bonus,
+    opt-in via LANDIFF_DIT_INT8=1 (pipeline/dif_infer.py) and drift-gated
+    by tests/test_dit_int8_drift.py."""
+    sa = jnp.maximum(
+        jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32),
+        1e-12) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sa),
+                  -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(xq, q, (((xq.ndim - 1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * sa * s).astype(x.dtype)
+
+
 def _linear(p, name, x):
-    return x @ p[f"{name}_w"].astype(x.dtype) + p[f"{name}_b"].astype(x.dtype)
+    w = p[f"{name}_w"]
+    if isinstance(w, dict):
+        y = _w8a8_matmul(x, w["q"], w["s"])
+    else:
+        y = x @ w.astype(x.dtype)
+    return y + p[f"{name}_b"].astype(x.dtype)
+
+
+_INT8_LAYER_LEAVES = ("qkv_w", "attn_out_w", "mlp0_w", "mlp1_w")
+
+
+def quantize_int8(params):
+    """W8A8 int8 quantization of the per-layer transformer matmuls
+    (qkv / attn-out / mlp), per-output-channel weight scales. adaLN,
+    zero_linear, patch/text/time embeddings and the final head stay bf16
+    (tiny next to the blocks; adaLN/zero paths are also exactness-critical
+    at init where their params are zero). Apply to main AND control params
+    before engine.make_denoise_fn; the forwards dispatch on the leaf type
+    (see _linear)."""
+    def quant(a):
+        a = jnp.asarray(a, jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(a), axis=0), 1e-8) / 127.0
+        qv = jnp.clip(jnp.round(a / s), -127, 127).astype(jnp.int8)
+        return {"q": qv, "s": s}
+
+    out = dict(params)
+    out["layers"] = [
+        {k: (quant(v) if k in _INT8_LAYER_LEAVES else v)
+         for k, v in layer.items()}
+        for layer in params["layers"]]
+    return out
 
 
 def _modulate(x, shift, scale):

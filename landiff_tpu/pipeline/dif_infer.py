@@ -61,6 +61,12 @@ class CogModelInferWrapper:
         self.mesh = mesh
         self.compute_dtype = compute_dtype
         self.attn_impl = attn_impl
+        if os.environ.get("LANDIFF_DIT_INT8") == "1" and mesh is None:
+            # W8A8 int8 DiT linears (dit.quantize_int8) — single-chip only
+            # (the TP prep reshapes raw weight leaves); opt-in, drift-gated
+            self.params = dict(params)
+            for k in ("main", "control"):
+                self.params[k] = dit_lib.quantize_int8(params[k])
         if max_steps_per_call is None:
             env = os.environ.get("LANDIFF_MAX_STEPS_PER_CALL")
             max_steps_per_call = int(env) if env else None
