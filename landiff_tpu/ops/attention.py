@@ -267,15 +267,11 @@ def _flash_kernel_cached_i8(count_ref,   # SMEM (nq,) int32
                             q_ref,       # VMEM (1, block_q, D)
                             k_hbm,       # ANY (BH, D, S_kv) int8
                             ks_hbm,      # ANY (BH, 1, S_kv) f32 k scales
-                            v_hbm,       # ANY (BH, D, S_kv)
-                            o_ref,       # VMEM (1, block_q, D)
-                            k_cache,     # VMEM scratch (D, S_kv) int8
-                            ks_cache,    # VMEM scratch (1, S_kv) f32
-                            v_cache,     # VMEM scratch (D, S_kv)
-                            sem,         # DMA semaphores (3,)
-                            *,
+                            v_hbm,       # ANY (BH, D, S_kv); int8 if int8_pv
+                            *rest,       # [vs_ref] o_ref k_cache ks_cache
+                                         # v_cache sem
                             mask_fn, scale, block_q, block_kv,
-                            exp_bf16=False):
+                            exp_bf16=False, int8_pv=False):
     """int8-scores variant of the K/V-resident kernel: the q @ k^T
     contraction is head_dim=64 — half the 128-wide MXU K dimension — so
     bf16 scores run the MXU at half rate (the measured step floor,
@@ -283,8 +279,18 @@ def _flash_kernel_cached_i8(count_ref,   # SMEM (nq,) int32
     K is pre-quantized per kv-position (symmetric absmax over D) outside
     the kernel, q is quantized per row ONCE per q block in here, and the
     int32 scores are rescaled by the exact outer product of the two
-    scale vectors before the (unchanged, f32) online softmax. The p @ v
-    matmul stays bf16 (it contracts over S and already runs full rate)."""
+    scale vectors before the (unchanged, f32) online softmax.
+
+    int8_pv additionally runs the p @ v matmul in int8 (2x MXU rate even
+    at its full-rate S contraction): p is in [0, 1] by construction (post
+    online-max exp2), so it quantizes with the FIXED scale 127; V is
+    pre-quantized per (bh, kv-block) with a scalar absmax scale (vs_ref,
+    (1, nk8, 8) f32) that is constant within a tile contraction and
+    therefore factors out exactly: sum_k p*v = (p8 @ v8) * sv_j / 127."""
+    if int8_pv:
+        vs_ref, o_ref, k_cache, ks_cache, v_cache, sem = rest
+    else:
+        o_ref, k_cache, ks_cache, v_cache, sem = rest
     bh = pl.program_id(0)
     qi = pl.program_id(1)
     nkb = count_ref[qi]
@@ -329,12 +335,24 @@ def _flash_kernel_cached_i8(count_ref,   # SMEM (nq,) int32
             full = (kind_ref[qi, j] == 2).astype(jnp.float32)
             keep = jnp.maximum(tile_mask.astype(jnp.float32), full)
             s = s * keep + NEG_INF * (1.0 - keep)
-        m_new, alpha, l_new, pv = _softmax_tile(m, l, s, keep,
-                                                v_cache.dtype,
-                                                exp_bf16=exp_bf16)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            pv, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if int8_pv:
+            m_new, alpha, l_new, pv = _softmax_tile(m, l, s, keep,
+                                                    jnp.float32,
+                                                    exp_bf16=exp_bf16)
+            p8 = jnp.round(pv * 127.0).astype(jnp.int8)
+            pv32 = jax.lax.dot_general(
+                p8, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)          # (bq, D) i32
+            sv = vs_ref[0, kj, 0]                          # scalar f32
+            acc_new = acc * alpha \
+                + pv32.astype(jnp.float32) * (sv * (1.0 / 127.0))
+        else:
+            m_new, alpha, l_new, pv = _softmax_tile(m, l, s, keep,
+                                                    v_cache.dtype,
+                                                    exp_bf16=exp_bf16)
+            acc_new = acc * alpha + jax.lax.dot_general(
+                pv, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
         return m_new, l_new, acc_new
 
     m, l, acc = jax.lax.fori_loop(0, nkb, body, (m0, l0, a0))
@@ -354,23 +372,32 @@ def _pad_to(x, length, axis):
 @functools.partial(
     jax.jit,
     static_argnames=("mask_fn", "scale", "block_q", "block_kv", "interpret",
-                     "cached", "int8_scores", "exp_bf16"))
-def _flash_call(q, k, v, count, order, kind, k_scales=None, *, mask_fn,
-                scale, block_q, block_kv, interpret, cached=False,
-                int8_scores=False, exp_bf16=False):
+                     "cached", "int8_scores", "exp_bf16", "int8_pv"))
+def _flash_call(q, k, v, count, order, kind, k_scales=None, v_scales=None,
+                *, mask_fn, scale, block_q, block_kv, interpret,
+                cached=False, int8_scores=False, exp_bf16=False,
+                int8_pv=False):
     BH, Sq, D = q.shape
     Skv = k.shape[2]           # k/v arrive transposed: (BH, D, S_kv)
     nq = Sq // block_q
     if int8_scores:
+        in_specs = [
+            pl.BlockSpec((1, block_q, D), lambda bh, qi, *_: (bh, qi, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),   # K int8 in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # K scales in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # V in HBM
+        ]
+        operands = (count, order, kind, q, k, k_scales, v)
+        if int8_pv:
+            # per-(bh, kv-block) scalar V scales ride a small VMEM block
+            nk8 = v_scales.shape[1]
+            in_specs.append(pl.BlockSpec((1, nk8, 8),
+                                         lambda bh, qi, *_: (bh, 0, 0)))
+            operands = operands + (v_scales,)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(BH, nq),
-            in_specs=[
-                pl.BlockSpec((1, block_q, D), lambda bh, qi, *_: (bh, qi, 0)),
-                pl.BlockSpec(memory_space=pl.ANY),   # K int8 in HBM
-                pl.BlockSpec(memory_space=pl.ANY),   # K scales in HBM
-                pl.BlockSpec(memory_space=pl.ANY),   # V in HBM
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, block_q, D),
                                    lambda bh, qi, *_: (bh, qi, 0)),
             scratch_shapes=[
@@ -383,7 +410,8 @@ def _flash_call(q, k, v, count, order, kind, k_scales=None, *, mask_fn,
         return pl.pallas_call(
             functools.partial(_flash_kernel_cached_i8, mask_fn=mask_fn,
                               scale=scale, block_q=block_q,
-                              block_kv=block_kv, exp_bf16=exp_bf16),
+                              block_kv=block_kv, exp_bf16=exp_bf16,
+                              int8_pv=int8_pv),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
             compiler_params=pltpu.CompilerParams(
@@ -393,7 +421,7 @@ def _flash_call(q, k, v, count, order, kind, k_scales=None, *, mask_fn,
                 bytes_accessed=BH * (4 * Sq * D + Skv * (3 * D + 4)),
                 transcendentals=BH * Sq * Skv),
             interpret=interpret,
-        )(count, order, kind, q, k, k_scales, v), None
+        )(*operands), None
     if cached:
         scratch = [
             pltpu.VMEM((D, Skv), q.dtype),
@@ -451,6 +479,7 @@ def flash_attention(q, k, v, *, mask_fn=None, scale=None,
                     interpret: bool | None = None,
                     int8_scores: bool | None = None,
                     exp_bf16: bool | None = None,
+                    int8_pv: bool | None = None,
                     return_lse: bool = False):
     """Flash attention with optional structured mask.
 
@@ -516,6 +545,8 @@ def flash_attention(q, k, v, *, mask_fn=None, scale=None,
         int8_scores = os.environ.get("LANDIFF_ATTN_INT8") == "1"
     if exp_bf16 is None:
         exp_bf16 = os.environ.get("LANDIFF_ATTN_EXP_BF16") == "1"
+    if int8_pv is None:
+        int8_pv = os.environ.get("LANDIFF_ATTN_INT8_PV") == "1"
     if return_lse:
         int8_scores = False
     cache_bytes = 2 * D * Skv_p * q.dtype.itemsize
@@ -527,11 +558,26 @@ def flash_attention(q, k, v, *, mask_fn=None, scale=None,
                      keepdims=True)                    # (BH, 1, Skv)
         sk = jnp.maximum(sk, 1e-30) / 127.0
         k8 = jnp.round(kt.astype(jnp.float32) / sk).astype(jnp.int8)
-        out, _ = _flash_call(qt, k8, vt, jnp.asarray(count),
-                             jnp.asarray(order), jnp.asarray(kind), sk,
+        vs = None
+        v_in = vt
+        if int8_pv:
+            # per-(bh, kv-block) scalar absmax quantization of V: constant
+            # within a tile contraction, so the scale factors out exactly
+            nk_ = Skv_p // block_kv
+            vb = vt.astype(jnp.float32).reshape(B * H, D, nk_, block_kv)
+            sv = jnp.max(jnp.abs(vb), axis=(1, 3))     # (BH, nk)
+            sv = jnp.maximum(sv, 1e-30) / 127.0
+            v_in = jnp.round(vb / sv[:, None, :, None]).astype(
+                jnp.int8).reshape(B * H, D, Skv_p)
+            nk8 = masks_lib.round_up(nk_, 8)
+            svp = jnp.pad(sv, ((0, 0), (0, nk8 - nk_)))
+            vs = jnp.broadcast_to(svp[:, :, None], (B * H, nk8, 8)) + 0.0
+        out, _ = _flash_call(qt, k8, v_in, jnp.asarray(count),
+                             jnp.asarray(order), jnp.asarray(kind), sk, vs,
                              mask_fn=kern_fn, scale=scale, block_q=block_q,
                              block_kv=block_kv, interpret=interpret,
-                             int8_scores=True, exp_bf16=exp_bf16)
+                             int8_scores=True, exp_bf16=exp_bf16,
+                             int8_pv=int8_pv)
         out = out[:, :Sq].reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
         return out
 
@@ -789,7 +835,7 @@ def _flash_diff_fwd(q, k, v, mask_fn, scale, int8_scores=False):
     # (advisor r2 finding). Training numerics are always exact.
     out, lse = flash_attention(q, k, v, mask_fn=mask_fn, scale=scale,
                                int8_scores=False, exp_bf16=False,
-                               return_lse=True)
+                               int8_pv=False, return_lse=True)
     # names let a remat policy SAVE the kernel outputs while recomputing
     # the cheap qkv projections: jax.checkpoint(policy=save_only_these_
     # names('flash_out','flash_lse')) skips re-running the forward kernel

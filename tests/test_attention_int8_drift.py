@@ -36,12 +36,13 @@ def _mid_cfg():
                      adm_in_channels=16, control_layers=1)
 
 
-def _run_steps(cfg, params, ctrl, x0, ctx, sem, *, int8, steps=3):
+def _run_steps(cfg, params, ctrl, x0, ctx, sem, *, int8, pv=False, steps=3):
     # the env knob is read by ops.attention.attention at trace time; these
     # eager (unjitted) calls re-read it every step
     import os
 
     os.environ["LANDIFF_ATTN_INT8"] = "1" if int8 else "0"
+    os.environ["LANDIFF_ATTN_INT8_PV"] = "1" if pv else "0"
     try:
         x = x0
         for i in range(steps):
@@ -53,6 +54,7 @@ def _run_steps(cfg, params, ctrl, x0, ctx, sem, *, int8, steps=3):
         return np.asarray(x, np.float32)
     finally:
         del os.environ["LANDIFF_ATTN_INT8"]
+        del os.environ["LANDIFF_ATTN_INT8_PV"]
 
 
 def test_dit_multistep_int8_drift_bounded():
@@ -85,3 +87,32 @@ def test_dit_multistep_int8_drift_bounded():
     assert corr > 0.9995, corr
     rel = np.abs(exact - quant).mean() / (np.abs(exact).mean() + 1e-9)
     assert rel < 0.02, rel
+
+
+def test_dit_multistep_int8_pv_drift_bounded():
+    """Compound-drift gate for the int8 p@v extension (opt-in,
+    LANDIFF_ATTN_INT8_PV=1 on top of int8 scores)."""
+    from landiff_tpu.utils import fill_zero_leaves
+
+    cfg = _mid_cfg()
+    params = fill_zero_leaves(dit_lib.init(jax.random.PRNGKey(0), cfg),
+                              jax.random.PRNGKey(10), scale=0.05)
+    ctrl = fill_zero_leaves(
+        dit_lib.init(jax.random.PRNGKey(1), cfg, control=True),
+        jax.random.PRNGKey(11), scale=0.05)
+    B = 2
+    x = jax.random.normal(jax.random.PRNGKey(2),
+                          (B, cfg.latent_frames, cfg.in_channels,
+                           cfg.latent_height, cfg.latent_width))
+    ctx = jax.random.normal(jax.random.PRNGKey(3),
+                            (B, cfg.text_length, cfg.text_dim))
+    sem = jax.random.normal(jax.random.PRNGKey(4), x.shape) * 0.1
+
+    exact = _run_steps(cfg, params, ctrl, x, ctx, sem, int8=False)
+    quant = _run_steps(cfg, params, ctrl, x, ctx, sem, int8=True, pv=True)
+
+    assert np.abs(exact - quant).max() > 0
+    corr = np.corrcoef(exact.ravel(), quant.ravel())[0, 1]
+    assert corr > 0.999, corr
+    rel = np.abs(exact - quant).mean() / (np.abs(exact).mean() + 1e-9)
+    assert rel < 0.03, rel

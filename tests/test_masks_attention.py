@@ -155,6 +155,31 @@ def test_flash_int8_scores_close_to_reference():
     np.testing.assert_allclose(got_m, want_m, rtol=0.1, atol=0.02)
 
 
+def test_flash_int8_pv_close_to_reference():
+    """int8 p @ v variant (LANDIFF_ATTN_INT8_PV): p quantizes at the fixed
+    scale 127 (p in [0,1] post online-max), V per (bh, kv-block) scalar
+    absmax — the scale is constant within a tile contraction so it factors
+    out exactly. Requires int8_scores (it extends that kernel)."""
+    B, S, H, D = 2, 64, 2, 16
+    q, k, v = _rand_qkv(jax.random.PRNGKey(4), B, S, H, D)
+    want = np.asarray(A.mha_reference(q, k, v), np.float32)
+    got = np.asarray(A.flash_attention(q, k, v, block_q=16, block_kv=16,
+                                       interpret=True, int8_scores=True,
+                                       int8_pv=True),
+                     np.float32)
+    np.testing.assert_allclose(got, want, rtol=0.1, atol=0.03)
+    assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.998
+    # masked variant: partial tiles + fully-masked padding rows stay exact
+    want_m = np.asarray(A.mha_reference(q, k, v, mask_fn=M.causal),
+                        np.float32)
+    got_m = np.asarray(A.flash_attention(q, k, v, mask_fn=M.causal,
+                                         block_q=16, block_kv=16,
+                                         interpret=True, int8_scores=True,
+                                         int8_pv=True),
+                       np.float32)
+    np.testing.assert_allclose(got_m, want_m, rtol=0.1, atol=0.03)
+
+
 @pytest.mark.parametrize("mask_name", [None, "causal", "decoder"])
 def test_flash_backward_matches_reference_grads(mask_name):
     """The chunked flash backward (custom_vjp on the pallas path) must
