@@ -220,7 +220,7 @@ def _layer_tp(p, x, emb, cfg: DiTConfig, attn_impl, axis: str):
     tl = cfg.text_length
     dt = x.dtype
     w = p["qkv_w"]                          # (D, 3, H_local, Dk)
-    _, _, Hl, Dk = w.shape
+    _, _, Hl, Dk = (w["q"] if isinstance(w, dict) else w).shape
 
     sel, (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp,
           t_shift_msa, t_scale_msa, t_gate_msa, t_shift_mlp, t_scale_mlp,
@@ -229,22 +229,37 @@ def _layer_tp(p, x, emb, cfg: DiTConfig, attn_impl, axis: str):
     h = layer_norm(x, p["ln1_w"], p["ln1_b"], 1e-6)
     h = h * (1.0 + sel(t_scale_msa, scale_msa)) + sel(t_shift_msa, shift_msa)
 
-    qkv = h @ w.reshape(D, 3 * Hl * Dk).astype(dt) \
-        + p["qkv_b"].reshape(3 * Hl * Dk).astype(dt)
+    if isinstance(w, dict):                 # W8A8 tp layout (tp_infer)
+        qkv = _w8a8_matmul(h, w["q"].reshape(D, 3 * Hl * Dk),
+                           w["s"].reshape(3 * Hl * Dk))
+    else:
+        qkv = h @ w.reshape(D, 3 * Hl * Dk).astype(dt)
+    qkv = qkv + p["qkv_b"].reshape(3 * Hl * Dk).astype(dt)
     qkv = qkv.reshape(B, S, 3, Hl, Dk)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     if cfg.qk_ln:
         q = layer_norm(q, p["q_ln_w"], p["q_ln_b"], 1e-6)
         k = layer_norm(k, p["k_ln_w"], p["k_ln_b"], 1e-6)
     attn = attention(q, k, v, impl=attn_impl).reshape(B, S, Hl * Dk)
-    attn = attn @ p["attn_out_w"].reshape(Hl * Dk, D).astype(dt)
+    wo = p["attn_out_w"]
+    if isinstance(wo, dict):
+        # per-token activation scales are LOCAL to this shard's features;
+        # the per-output weight scale applies uniformly and commutes with
+        # the psum, so partial products sum exactly like the bf16 path
+        attn = _w8a8_matmul(attn, wo["q"].reshape(Hl * Dk, D), wo["s"])
+    else:
+        attn = attn @ wo.reshape(Hl * Dk, D).astype(dt)
     attn = jax.lax.psum(attn, axis) + p["attn_out_b"].astype(dt)
     x = x + sel(t_gate_msa, gate_msa) * attn
 
     h = layer_norm(x, p["ln2_w"], p["ln2_b"], 1e-6)
     h = h * (1.0 + sel(t_scale_mlp, scale_mlp)) + sel(t_shift_mlp, shift_mlp)
     h = jax.nn.gelu(_linear(p, "mlp0", h), approximate=True)
-    h = h @ p["mlp1_w"].astype(dt)
+    w1 = p["mlp1_w"]
+    if isinstance(w1, dict):
+        h = _w8a8_matmul(h, w1["q"], w1["s"])
+    else:
+        h = h @ w1.astype(dt)
     h = jax.lax.psum(h, axis) + p["mlp1_b"].astype(dt)
     x = x + sel(t_gate_mlp, gate_mlp) * h
     return x

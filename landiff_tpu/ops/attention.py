@@ -975,7 +975,9 @@ def attention(q, k, v, *, mask_fn=None, mask=None, scale=None,
     only — anything under jax.grad always computes exact f32 scores, see
     _flash_diff_fwd). Default ON on TPU (1.065x, end-output corr ≥ 0.9999
     gated by tests/test_attention_int8_drift.py); LANDIFF_ATTN_INT8=0
-    opts out."""
+    opts out. LANDIFF_ATTN_INT8_PV=1 additionally runs p@v in int8
+    (fixed-scale p, per-kv-block V scales — see _flash_kernel_cached_i8);
+    opt-in pending TPU measurement, same drift gates."""
     if impl == "auto":
         impl = ("pallas" if jax.default_backend() == "tpu"
                 and q.shape[1] >= 2048 else "xla")

@@ -50,6 +50,47 @@ _TP_LEAF_SPECS = {
     # bias must be applied once, not tp times)
 }
 
+# W8A8 int8 tp layout ({"q", "s"} leaves, dit.quantize_int8 semantics at
+# the tp shapes): q shards like the raw weight; the per-output-channel
+# scale s shards like the weight's OUTPUT dims (replicated for
+# row-parallel weights — it applies after the contraction and commutes
+# with the psum)
+_TP_INT8_SPECS = {
+    ("qkv_w", "q"): P(None, None, TP_AXIS, None),
+    ("qkv_w", "s"): P(None, TP_AXIS, None),     # (3, H_pad, Dk)
+    ("attn_out_w", "q"): P(TP_AXIS, None, None),
+    ("attn_out_w", "s"): P(),                   # (D,)
+    ("mlp0_w", "q"): P(None, TP_AXIS),
+    ("mlp0_w", "s"): P(TP_AXIS,),               # (M,)
+    ("mlp1_w", "q"): P(TP_AXIS, None),
+    ("mlp1_w", "s"): P(),                       # (D,)
+}
+
+
+def _quant_leaf(a, contract_axes):
+    """Symmetric absmax int8 over the contraction axes (per-output-channel
+    scales; zero-padded heads quantize to all-zero q with the floored
+    scale, contributing exactly nothing like the bf16 pad path)."""
+    a = jnp.asarray(a, jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(a), axis=contract_axes), 1e-8) / 127.0
+    sb = jnp.expand_dims(s, contract_axes)
+    q = jnp.clip(jnp.round(a / sb), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": s}
+
+
+_INT8_CONTRACT_AXES = {
+    "qkv_w": (0,),          # (D, 3, Hp, Dk) contracts D
+    "attn_out_w": (0, 1),   # (Hp, Dk, D) contracts Hp, Dk
+    "mlp0_w": (0,),
+    "mlp1_w": (0,),
+}
+
+
+def quantize_layer_tp(p: dict) -> dict:
+    return {k: (_quant_leaf(v, _INT8_CONTRACT_AXES[k])
+                if k in _INT8_CONTRACT_AXES else v)
+            for k, v in p.items()}
+
 
 def pad_heads(n_heads: int, tp: int) -> int:
     return int(math.ceil(n_heads / tp) * tp)
@@ -70,9 +111,13 @@ def prep_layer_tp(p: dict, cfg: DiTConfig, tp: int) -> dict:
     return out
 
 
-def prep_dit_tp(params: dict, cfg: DiTConfig, tp: int) -> dict:
+def prep_dit_tp(params: dict, cfg: DiTConfig, tp: int, *,
+                int8: bool = False) -> dict:
     out = dict(params)
-    out["layers"] = [prep_layer_tp(p, cfg, tp) for p in params["layers"]]
+    layers = [prep_layer_tp(p, cfg, tp) for p in params["layers"]]
+    if int8:
+        layers = [quantize_layer_tp(p) for p in layers]
+    out["layers"] = layers
     return out
 
 
@@ -86,16 +131,19 @@ def dit_tp_specs(prepped: dict):
     def spec(path, x):
         keys = [_key_str(k) for k in path]
         if "layers" in keys:
+            if keys[-1] in ("q", "s"):
+                return _TP_INT8_SPECS.get((keys[-2], keys[-1]), P())
             return _TP_LEAF_SPECS.get(keys[-1], P())
         return P()
 
     return jax.tree_util.tree_map_with_path(spec, prepped)
 
 
-def shard_dit_tp(params: dict, cfg: DiTConfig, mesh: Mesh):
+def shard_dit_tp(params: dict, cfg: DiTConfig, mesh: Mesh, *,
+                 int8: bool = False):
     """prep + place on the mesh. Returns (sharded_params, specs)."""
     tp = mesh.shape[TP_AXIS]
-    prepped = prep_dit_tp(params, cfg, tp)
+    prepped = prep_dit_tp(params, cfg, tp, int8=int8)
     specs = dit_tp_specs(prepped)
     sharded = jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), prepped,
@@ -107,7 +155,7 @@ def make_tp_denoise_fn(params, mesh: Mesh, dit_cfg: DiTConfig,
                        sampler_cfg: SamplerConfig, tok_cfg: TokenizerConfig,
                        sem_cfg: SemanticCondConfig, context, uc_context,
                        semantic_tokens, *, compute_dtype=jnp.bfloat16,
-                       attn_impl="auto"):
+                       attn_impl="auto", int8: bool | None = None):
     """Mesh-mode twin of diffusion/engine.make_denoise_fn: same contract
     (denoise_fn(x, step, bundle) -> fp32 CFG-combined x0 prediction), but
     the network forward is a shard_map program with DP over the CFG rows
@@ -116,11 +164,21 @@ def make_tp_denoise_fn(params, mesh: Mesh, dit_cfg: DiTConfig,
     params: the CogModelInferWrapper dict ({"main","control","semantic"});
     the semantic feature is computed ONCE (replicated — the conditioner is
     ~0.2B and runs a single time per video) and its CFG pair is DP-sharded.
+    int8: W8A8 int8 layer matmuls at the tp shapes (default: the
+    LANDIFF_DIT_INT8=1 env knob, same as single-chip; activation scales
+    are per-shard-local so numerics differ slightly from single-chip int8
+    — finer-grained, drift-gated by tests/test_tp_infer.py).
     """
+    import os
+
     from landiff_tpu.diffusion import engine, schedule
 
-    main_tp, main_specs = shard_dit_tp(params["main"], dit_cfg, mesh)
-    ctrl_tp, ctrl_specs = shard_dit_tp(params["control"], dit_cfg, mesh)
+    if int8 is None:
+        int8 = os.environ.get("LANDIFF_DIT_INT8") == "1"
+    main_tp, main_specs = shard_dit_tp(params["main"], dit_cfg, mesh,
+                                       int8=int8)
+    ctrl_tp, ctrl_specs = shard_dit_tp(params["control"], dit_cfg, mesh,
+                                       int8=int8)
 
     repl = NamedSharding(mesh, P())
     dsh = NamedSharding(mesh, P(DATA_AXIS))

@@ -62,8 +62,10 @@ class CogModelInferWrapper:
         self.compute_dtype = compute_dtype
         self.attn_impl = attn_impl
         if os.environ.get("LANDIFF_DIT_INT8") == "1" and mesh is None:
-            # W8A8 int8 DiT linears (dit.quantize_int8) — single-chip only
-            # (the TP prep reshapes raw weight leaves); opt-in, drift-gated
+            # W8A8 int8 DiT linears (dit.quantize_int8); opt-in,
+            # drift-gated. The mesh path quantizes AFTER its tp prep
+            # instead (tp_infer.make_tp_denoise_fn reads the same knob),
+            # so raw weights must reach it here.
             self.params = dict(params)
             for k in ("main", "control"):
                 self.params[k] = dit_lib.quantize_int8(params[k])

@@ -125,6 +125,40 @@ def test_tp_hlo_collective_count():
     assert counts["all_reduce"] <= expect + 4, counts
 
 
+def test_tp_denoise_int8_drift_bounded():
+    """W8A8 int8 at the tp shapes (quantize AFTER prep; activation scales
+    per shard): close to the exact single-chip output, and the {q, s}
+    leaves carry the intended shardings."""
+    cfg = tiny_test_config()
+    mesh = _mesh(data=2, model=4)
+    params, x, ctx, tokens = _params_and_inputs(cfg)
+    uc = jnp.zeros_like(ctx)
+    dfn, b = engine.make_denoise_fn(
+        params["main"], params["control"], params["semantic"], cfg.dit,
+        cfg.sampler, cfg.tokenizer, cfg.semantic_cond, ctx, uc, tokens,
+        compute_dtype=jnp.float32, attn_impl="xla")
+    step = _step_dict(cfg.sampler)
+    want = np.asarray(jax.jit(dfn)(x, step, b))
+
+    tfn, tb = tp_infer.make_tp_denoise_fn(
+        params, mesh, cfg.dit, cfg.sampler, cfg.tokenizer,
+        cfg.semantic_cond, ctx, uc, tokens,
+        compute_dtype=jnp.float32, attn_impl="xla", int8=True)
+    leaf = tb["main"]["layers"][0]["qkv_w"]
+    assert isinstance(leaf, dict) and leaf["q"].dtype == jnp.int8
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    assert leaf["q"].sharding == NamedSharding(
+        mesh, P(None, None, tp_infer.TP_AXIS, None))
+    assert leaf["s"].sharding == NamedSharding(
+        mesh, P(None, tp_infer.TP_AXIS, None))
+    got = np.asarray(jax.jit(tfn)(x, step, tb))
+    corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+    assert corr > 0.999, corr
+    rel = np.abs(got - want).mean() / (np.abs(want).mean() + 1e-9)
+    assert rel < 0.03, rel
+
+
 def test_tp_pipeline_e2e_matches_single():
     """Whole stage-2 wrapper under a mesh vs without: same video."""
     from landiff_tpu.pipeline import dif_infer
