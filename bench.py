@@ -31,6 +31,40 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/landiff_jax_cache")
 A100_REF_STEP_MS = 3300.0
 
 
+def _wait_for_backend(max_wait_s: float = 1800.0):
+    """Probe the TPU backend in a BOUNDED subprocess before benching.
+
+    The remote-tunnel backend can be left in a crashed state by a prior
+    long device execution, after which in-process backend init HANGS
+    (no error) for up to ~45 min until the worker recovers. Probing from
+    a killable subprocess and retrying turns that into a bounded wait
+    instead of a hung/aborted bench run. No-op on CPU or with
+    LANDIFF_BENCH_NO_PROBE=1."""
+    import subprocess
+    import sys
+
+    if (os.environ.get("JAX_PLATFORMS", "") == "cpu"
+            or os.environ.get("LANDIFF_BENCH_NO_PROBE") == "1"):
+        return
+    code = ("import jax, numpy as np, jax.numpy as jnp; "
+            "x = jnp.ones((8, 8)); print('PROBE_OK', "
+            "float(np.asarray(x).sum()))")
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True, timeout=420)
+            if r.returncode == 0 and "PROBE_OK" in r.stdout:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print("# backend probe kept failing; proceeding anyway",
+                  file=sys.stderr)
+            return
+        time.sleep(120)
+
+
 def main():
     from landiff_tpu.config import DiTConfig
     from landiff_tpu.models import dit as dit_lib
@@ -300,6 +334,8 @@ if __name__ == "__main__":
     if mode == "mesh":
         bench_mesh()
     elif mode == "e2e":
+        _wait_for_backend()
         bench_e2e()
     else:
+        _wait_for_backend()
         main()

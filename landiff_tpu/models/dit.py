@@ -150,16 +150,20 @@ def _modulate(x, shift, scale):
     return x * (1.0 + scale[:, None]) + shift[:, None]
 
 
-def _adaln_sel(p, emb, S, tl, dt):
+def _adaln_sel(p, emb, S, tl, dt, offset=0):
     """adaLN_modulation = Sequential(SiLU, Linear) (dit_video_concat.py:
     510-515) -> the 12 (B, D) pieces + a position-select helper: the
     reference modulates text/img slices separately and re-concats
     (:577-588); here the per-token shift/scale/gate are position-selected
     (text vs video) so every modulation fuses into the neighbouring
-    elementwise op instead of materializing concats."""
+    elementwise op instead of materializing concats.
+
+    offset: global position of this stream's first token — 0 except under
+    sequence-parallel sharding (_layer_sp), where each shard holds tokens
+    [offset, offset + S) of the [text|video] sequence (may be traced)."""
     mods = _linear(p, "adaln", jax.nn.silu(emb.astype(dt)))
     pieces = jnp.split(mods, 12, axis=-1)
-    is_text = (jnp.arange(S) < tl)[None, :, None]
+    is_text = ((offset + jnp.arange(S)) < tl)[None, :, None]
 
     def sel(tv, vv):
         # (B, 1, D) pair -> (B, S, D)-broadcast per-token value
@@ -261,6 +265,60 @@ def _layer_tp(p, x, emb, cfg: DiTConfig, attn_impl, axis: str):
     else:
         h = h @ w1.astype(dt)
     h = jax.lax.psum(h, axis) + p["mlp1_b"].astype(dt)
+    x = x + sel(t_gate_mlp, gate_mlp) * h
+    return x
+
+
+def _layer_sp(p, x, emb, cfg: DiTConfig, attn_impl, axis: str, offset):
+    """Sequence-parallel variant of `_layer`, run INSIDE shard_map: the
+    hidden stream x holds this shard's LOCAL tokens ([offset, offset +
+    S_local) of the [text|video] sequence, sharded over the `time` mesh
+    axis); layer weights are REPLICATED. Every op is per-token except
+    attention, which runs as ring attention (parallel/ring_attention.py:
+    K/V shards rotate via ppermute, lse-merged) — so a layer costs the
+    same FLOPs as the unsharded one at 1/n tokens with NO per-layer
+    all-reduce (vs _layer_tp's 2 psums/layer); the ppermute traffic
+    overlaps the per-hop attention compute.
+
+    This is the DiT scaling mode the head count can't cap: tp over heads
+    stops at 30 (padded 32), while S = 17776 splits over 8/16/32 chips
+    exactly. int8 (W8A8) layer params from dit.quantize_int8 work
+    unchanged — per-token activation scales are local rows. Ring hops pin
+    exact-f32 scores (the lse-returning kernel path), so int8-SCORES
+    attention is unavailable under SP."""
+    B, S, D = x.shape
+    tl = cfg.text_length
+    H, Dk = cfg.num_heads, cfg.head_dim
+    dt = x.dtype
+
+    from landiff_tpu.parallel.ring_attention import ring_attention_local
+
+    ring_impl = ("pallas" if attn_impl in ("auto", "pallas")
+                 and jax.default_backend() == "tpu" else "xla")
+
+    sel, (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp,
+          t_shift_msa, t_scale_msa, t_gate_msa, t_shift_mlp, t_scale_mlp,
+          t_gate_mlp) = _adaln_sel(p, emb, S, tl, dt, offset=offset)
+
+    h = layer_norm(x, p["ln1_w"], p["ln1_b"], 1e-6)
+    h = h * (1.0 + sel(t_scale_msa, scale_msa)) + sel(t_shift_msa, shift_msa)
+
+    qkv = _linear(p, "qkv", h)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(B, S, H, Dk)
+    k = k.reshape(B, S, H, Dk)
+    v = v.reshape(B, S, H, Dk)
+    if cfg.qk_ln:
+        q = layer_norm(q, p["q_ln_w"], p["q_ln_b"], 1e-6)
+        k = layer_norm(k, p["k_ln_w"], p["k_ln_b"], 1e-6)
+    attn = ring_attention_local(q, k, v, axis, impl=ring_impl)
+    attn = _linear(p, "attn_out", attn.reshape(B, S, D))
+    x = x + sel(t_gate_msa, gate_msa) * attn
+
+    h = layer_norm(x, p["ln2_w"], p["ln2_b"], 1e-6)
+    h = h * (1.0 + sel(t_scale_mlp, scale_mlp)) + sel(t_shift_mlp, shift_mlp)
+    h = jax.nn.gelu(_linear(p, "mlp0", h), approximate=True)
+    h = _linear(p, "mlp1", h)
     x = x + sel(t_gate_mlp, gate_mlp) * h
     return x
 
@@ -443,6 +501,75 @@ def control_warp_forward_tp(main_params, control_params, x, timesteps,
                               attn_impl=attn_impl,
                               compute_dtype=compute_dtype)
     return forward_tp(main_params, x, timesteps, context, cfg,
+                      control_outputs=ctrl, axis=axis, attn_impl=attn_impl,
+                      compute_dtype=compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# sequence-parallel forwards (run INSIDE shard_map over the `time` mesh
+# axis; weights REPLICATED, tokens sharded, attention as ring attention —
+# see _layer_sp). The reference has no sequence-parallel DiT at all (its CP
+# covers only the VAE, cp_enc_dec.py); this is the TPU scaling mode for
+# chip counts past the head count and for long-video sequences.
+
+
+def forward_sp(params, x, timesteps, context, cfg: DiTConfig, *, axis: str,
+               control_outputs=None, attn_impl="auto",
+               compute_dtype=jnp.bfloat16):
+    """Main DiT forward, sequence-parallel. Embeddings run replicated on
+    the full sequence (one patchify conv + text proj — tiny next to the
+    blocks), each shard then slices its token range; the final head runs
+    on the all-gathered sequence (one (B, S, D) gather per forward).
+    control_outputs are LOCAL shards (control_forward_sp output)."""
+    h, emb = _embed_inputs(params, x, timesteps, context, cfg, compute_dtype)
+    S = h.shape[1]
+    n = jax.lax.axis_size(axis)
+    assert S % n == 0, (S, n)
+    s_loc = S // n
+    offset = jax.lax.axis_index(axis) * s_loc
+    h = jax.lax.dynamic_slice_in_dim(h, offset, s_loc, 1)
+    for i, p in enumerate(params["layers"]):
+        h = _layer_sp(p, h, emb, cfg, attn_impl, axis, offset)
+        if control_outputs is not None and i < len(control_outputs):
+            h = h + control_outputs[i].astype(h.dtype)
+    h = jax.lax.all_gather(h, axis, axis=1, tiled=True)
+    return _final_head(params, h, emb, cfg)
+
+
+def control_forward_sp(params, x, timesteps, context, cfg: DiTConfig,
+                       semantic_feature, *, axis: str, attn_impl="auto",
+                       compute_dtype=jnp.bfloat16):
+    """SP control branch: returns LOCAL (B, S_local, D) zero-linear taps —
+    the main stream adds them shard-locally (same token sharding), so the
+    control path needs no gather at all."""
+    x = x.astype(compute_dtype) + semantic_feature.astype(compute_dtype)
+    h, emb = _embed_inputs(params, x, timesteps, context, cfg, compute_dtype)
+    S = h.shape[1]
+    n = jax.lax.axis_size(axis)
+    assert S % n == 0, (S, n)
+    s_loc = S // n
+    offset = jax.lax.axis_index(axis) * s_loc
+    h = jax.lax.dynamic_slice_in_dim(h, offset, s_loc, 1)
+    outs = []
+    for p in params["layers"]:
+        h = _layer_sp(p, h, emb, cfg, attn_impl, axis, offset)
+        outs.append(h @ p["zero_linear_w"].astype(h.dtype))
+    return outs
+
+
+def control_warp_forward_sp(main_params, control_params, x, timesteps,
+                            context, cfg: DiTConfig, semantic_feature, *,
+                            axis: str, attn_impl="auto",
+                            compute_dtype=jnp.bfloat16):
+    """ControlDiffWarp.forward under sequence parallelism."""
+    import dataclasses
+
+    ctrl_cfg = dataclasses.replace(cfg, num_layers=cfg.control_layers)
+    ctrl = control_forward_sp(control_params, x, timesteps, context,
+                              ctrl_cfg, semantic_feature, axis=axis,
+                              attn_impl=attn_impl,
+                              compute_dtype=compute_dtype)
+    return forward_sp(main_params, x, timesteps, context, cfg,
                       control_outputs=ctrl, axis=axis, attn_impl=attn_impl,
                       compute_dtype=compute_dtype)
 

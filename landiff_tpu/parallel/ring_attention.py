@@ -33,31 +33,54 @@ def _local_attn(q, k, v, scale):
     return out, lse
 
 
-def _merge(o1, lse1, o2, lse2):
-    """Combine two normalized partial attentions over disjoint key sets."""
+def _merge(o1, lse1, o2, lse2, exp=jnp.exp, log=jnp.log):
+    """Combine two normalized partial attentions over disjoint key sets.
+    `exp`/`log` pick the lse domain: natural (xla path) or base-2 (the
+    Pallas kernel's log2-domain lse)."""
     m = jnp.maximum(lse1, lse2)
-    w1 = jnp.exp(lse1 - m)
-    w2 = jnp.exp(lse2 - m)
+    w1 = exp(lse1 - m)
+    w2 = exp(lse2 - m)
     denom = w1 + w2
     out = (o1 * w1[..., None] + o2 * w2[..., None]) / denom[..., None]
-    return out, m + jnp.log(denom)
+    return out, m + log(denom)
 
 
-def ring_attention_local(q, k, v, axis: str, *, scale=None):
+def _local_attn_flash(q, k, v, scale):
+    """Pallas-kernel local attention for the ring hops: the fused flash
+    forward with its log2-domain logsumexp ((B, H, Sq) -> (B, Sq, H));
+    return_lse pins the exact-f32 score path (ops/attention.py)."""
+    from landiff_tpu.ops import attention as attn_lib
+
+    out, lse = attn_lib.flash_attention(q, k, v, scale=scale,
+                                        return_lse=True)
+    return out.astype(jnp.float32), lse.transpose(0, 2, 1)
+
+
+def ring_attention_local(q, k, v, axis: str, *, scale=None, impl="xla"):
     """Per-shard ring attention body (use under shard_map with q/k/v
-    sharded on `axis` along S). Returns the local output shard, q.dtype."""
+    sharded on `axis` along S). Returns the local output shard, q.dtype.
+
+    impl: 'xla' (dense einsum per hop — fine for small local blocks /
+    CPU-mesh tests) or 'pallas' (the flash kernel per hop, lse-merged in
+    its log2 domain — the TPU path; a (B, H, Sq_loc, Skv_loc) f32 score
+    block at production shapes would not fit HBM comfortably)."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     n = jax.lax.axis_size(axis)
     perm = [(i, (i + 1) % n) for i in range(n)]
-    out, lse = _local_attn(q, k, v, scale)
+    if impl == "pallas":
+        local, merge = _local_attn_flash, functools.partial(
+            _merge, exp=jnp.exp2, log=jnp.log2)
+    else:
+        local, merge = _local_attn, _merge
+    out, lse = local(q, k, v, scale)
 
     def body(_, carry):
         out, lse, kr, vr = carry
         kr = jax.lax.ppermute(kr, axis, perm)
         vr = jax.lax.ppermute(vr, axis, perm)
-        o2, lse2 = _local_attn(q, kr, vr, scale)
-        out, lse = _merge(out, lse, o2, lse2)
+        o2, lse2 = local(q, kr, vr, scale)
+        out, lse = merge(out, lse, o2, lse2)
         return out, lse, kr, vr
 
     out, lse, _, _ = jax.lax.fori_loop(0, n - 1, body, (out, lse, k, v))

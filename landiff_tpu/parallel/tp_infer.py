@@ -20,6 +20,14 @@ with an explicit shard_map program over a (data, model) mesh:
 
 The VAE stays on the streaming decode (replicated) or vae_cp over `time`;
 stage 1 decode is latency-bound and replicated (PARITY.md).
+
+A `time`-axis mesh (e.g. data=2,time=4) selects the SEQUENCE-PARALLEL
+denoise instead (dit.forward_sp): weights replicated, the 17776-token
+[text|video] sequence sharded, attention as a ppermute ring
+(parallel/ring_attention.py) — no per-layer all-reduce, and scaling is
+not capped by the 30-head count (tp tops out at model=30; S splits over
+8/16/32 chips exactly). The reference has no sequence-parallel DiT (its
+CP covers only the VAE).
 """
 
 from __future__ import annotations
@@ -37,6 +45,7 @@ from landiff_tpu.config import DiTConfig, SamplerConfig, SemanticCondConfig, \
 
 TP_AXIS = "model"
 DATA_AXIS = "data"
+SP_AXIS = "time"
 
 # per-leaf-name PartitionSpecs for the tp-prepped layer layout
 _TP_LEAF_SPECS = {
@@ -175,10 +184,30 @@ def make_tp_denoise_fn(params, mesh: Mesh, dit_cfg: DiTConfig,
 
     if int8 is None:
         int8 = os.environ.get("LANDIFF_DIT_INT8") == "1"
-    main_tp, main_specs = shard_dit_tp(params["main"], dit_cfg, mesh,
-                                       int8=int8)
-    ctrl_tp, ctrl_specs = shard_dit_tp(params["control"], dit_cfg, mesh,
-                                       int8=int8)
+    sp = mesh.shape.get(SP_AXIS, 1) > 1
+    if sp:
+        # sequence-parallel mode (mesh time>1): weights replicated, tokens
+        # sharded, ring attention — no tp prep / head padding needed. The
+        # single-chip int8 layout (dit.quantize_int8) applies unchanged.
+        assert mesh.shape.get(TP_AXIS, 1) == 1, (
+            "combined model x time sharding of the denoise step is not "
+            "wired; use one of tp (model=N) or sp (time=N)", dict(mesh.shape))
+        from landiff_tpu.models import dit as dit_lib
+
+        def _prep_sp(p):
+            p = dit_lib.quantize_int8(p) if int8 else p
+            specs = jax.tree_util.tree_map(lambda _: P(), p)
+            repl_ns = NamedSharding(mesh, P())
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, repl_ns), p), specs
+
+        main_tp, main_specs = _prep_sp(params["main"])
+        ctrl_tp, ctrl_specs = _prep_sp(params["control"])
+    else:
+        main_tp, main_specs = shard_dit_tp(params["main"], dit_cfg, mesh,
+                                           int8=int8)
+        ctrl_tp, ctrl_specs = shard_dit_tp(params["control"], dit_cfg, mesh,
+                                           int8=int8)
 
     repl = NamedSharding(mesh, P())
     dsh = NamedSharding(mesh, P(DATA_AXIS))
@@ -200,7 +229,7 @@ def make_tp_denoise_fn(params, mesh: Mesh, dit_cfg: DiTConfig,
 
     denoise_fn = _tp_denoise_fn_for(mesh, dit_cfg, _freeze_tree(main_specs),
                                     _freeze_tree(ctrl_specs), compute_dtype,
-                                    attn_impl)
+                                    attn_impl, sp=sp)
     return denoise_fn, bundle
 
 
@@ -231,12 +260,15 @@ def _freeze_tree(tree):
 
 @functools.lru_cache(maxsize=8)
 def _tp_denoise_fn_for(mesh: Mesh, dit_cfg: DiTConfig, frozen_main_specs,
-                       frozen_ctrl_specs, compute_dtype, attn_impl):
+                       frozen_ctrl_specs, compute_dtype, attn_impl,
+                       sp: bool = False):
     """The shard_map denoise program, cached on its real dependencies
     (mesh / config / spec trees) so every segment of a long-video run and
     every warm/timed bench pass reuses ONE function object — which keys the
     sampler's jitted chunk program cache (samplers._dpmpp2m_chunk_program)
-    and avoids re-tracing the full 45-layer sharded DiT per call."""
+    and avoids re-tracing the full 45-layer sharded DiT per call.
+    sp selects the sequence-parallel body (dit.control_warp_forward_sp
+    over the `time` axis) instead of Megatron TP."""
     from landiff_tpu.models import dit as dit_lib
 
     main_specs = jax.tree_util.tree_unflatten(frozen_main_specs[1],
@@ -244,10 +276,16 @@ def _tp_denoise_fn_for(mesh: Mesh, dit_cfg: DiTConfig, frozen_main_specs,
     ctrl_specs = jax.tree_util.tree_unflatten(frozen_ctrl_specs[1],
                                               list(frozen_ctrl_specs[0]))
 
-    def local_net(mp, cp, x2, ts, ctx2, sem2):
-        return dit_lib.control_warp_forward_tp(
-            mp, cp, x2, ts, ctx2, dit_cfg, sem2, axis=TP_AXIS,
-            attn_impl=attn_impl, compute_dtype=compute_dtype)
+    if sp:
+        def local_net(mp, cp, x2, ts, ctx2, sem2):
+            return dit_lib.control_warp_forward_sp(
+                mp, cp, x2, ts, ctx2, dit_cfg, sem2, axis=SP_AXIS,
+                attn_impl=attn_impl, compute_dtype=compute_dtype)
+    else:
+        def local_net(mp, cp, x2, ts, ctx2, sem2):
+            return dit_lib.control_warp_forward_tp(
+                mp, cp, x2, ts, ctx2, dit_cfg, sem2, axis=TP_AXIS,
+                attn_impl=attn_impl, compute_dtype=compute_dtype)
 
     d = P(DATA_AXIS)
     net = jax.shard_map(local_net, mesh=mesh,

@@ -277,6 +277,14 @@ def encode_temporal_cp(params, x, cfg: VAEConfig, mesh, *,
     return out.transpose(0, 4, 1, 2, 3)
 
 
+def can_decode_cp(T: int, n: int) -> bool:
+    """Whether a T-latent-frame decode can CP-shard over n devices: frames
+    past the replicated first one must split evenly with >= kernel-1 = 2
+    frames per shard (so each halo spans a single neighbor — same
+    constraint as the reference's one-rank irecv, cp_enc_dec.py:228)."""
+    return (T - 1) % n == 0 and (T - 1) // n >= 2
+
+
 def decode_temporal_cp(params, z, cfg: VAEConfig, mesh, *,
                        axis: str = "time", compute_dtype=jnp.bfloat16):
     """Multi-chip temporal-CP decode. z: (B, zc, T, h, w) NCTHW.

@@ -142,11 +142,17 @@ class CogModelInferWrapper:
             # diffusion params to host like the reference's .cpu() move
             jax.block_until_ready(latents)
             self.offload_diffusion_params()
-        if self.mesh is not None and self.mesh.shape.get("time", 1) > 1:
+        from landiff_tpu.parallel import vae_cp
+
+        n_time = self.mesh.shape.get("time", 1) if self.mesh is not None \
+            else 1
+        if n_time > 1 and vae_cp.can_decode_cp(latents.shape[1], n_time):
             video = engine.decode_first_stage_cp(
                 self.params["vae"], latents, cfg.vae, self.mesh,
                 compute_dtype=self.compute_dtype)
         else:
+            # too few frames to halo-split (tiny configs / short clips):
+            # replicated streaming decode instead of CP
             video = engine.decode_first_stage(
                 self.params["vae"], latents, cfg.vae,
                 compute_dtype=self.compute_dtype)

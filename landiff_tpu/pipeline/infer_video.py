@@ -156,8 +156,10 @@ def main():
                         help="tiny random-init config (no ckpts; smoke)")
     parser.add_argument("--fps", type=int, default=8)
     parser.add_argument("--mesh", default=None,
-                        help="device mesh for multi-chip stage-2, e.g. "
-                             "data=2,model=4 (v5e-8 TP/DP inference)")
+                        help="device mesh for multi-chip stage-2: "
+                             "data=2,model=4 (v5e-8 Megatron TP/DP) or "
+                             "data=2,time=4 (sequence-parallel ring-"
+                             "attention denoise + temporal-CP VAE)")
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 

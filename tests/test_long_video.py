@@ -116,3 +116,29 @@ def test_long_video_four_segments_boundary_continuity():
     n2 = latents2.shape[1]
     np.testing.assert_allclose(np.asarray(latents4)[:, :n2],
                                np.asarray(latents2), rtol=1e-5, atol=1e-5)
+
+
+def test_long_video_sp_mesh_matches_single():
+    """Long-video chunked diffusion on a sequence-parallel (data=2, time=4)
+    mesh: the per-segment SP denoise program (dit.forward_sp + ring
+    attention) must reproduce the single-device latent stream, including
+    the prefix splices at segment boundaries."""
+    from landiff_tpu.config import MeshConfig
+    from landiff_tpu.parallel import mesh as mesh_lib
+
+    key = jax.random.PRNGKey(0)
+    params = dif_infer.init_params(key, CFG)
+    t = CFG.tokenizer.titok
+    codes = np.random.default_rng(3).integers(
+        0, CFG.tokenizer.vq.codebook_size, size=2 * t.latent_tokens)
+    ctx = jnp.zeros((1, CFG.dit.text_length, CFG.dit.text_dim))
+    kw = dict(key=jax.random.PRNGKey(4), prefix_latents=1,
+              compute_dtype=jnp.float32, attn_impl="xla")
+    want = long_video.generate_long_video_latents(
+        params, CFG, ctx, jnp.zeros_like(ctx), codes, **kw)
+    mesh = mesh_lib.make_mesh(MeshConfig(data=2, model=1, time=4),
+                              jax.devices()[:8])
+    got = long_video.generate_long_video_latents(
+        params, CFG, ctx, jnp.zeros_like(ctx), codes, mesh=mesh, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)

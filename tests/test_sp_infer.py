@@ -1,0 +1,141 @@
+"""Sequence-parallel DiT inference (mesh time>1: dit.forward_sp + ring
+attention) on the CPU mesh: the token-sharded denoise program must match
+the single-chip engine numerically. This is the scaling mode the head
+count cannot cap (tp stops at 30 heads; S = 17776 splits over 8/16/32
+chips exactly) — the reference has no sequence-parallel DiT at all (its
+CP covers only the VAE, cp_enc_dec.py)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from landiff_tpu.config import MeshConfig, tiny_test_config
+from landiff_tpu.diffusion import engine
+from landiff_tpu.parallel import mesh as mesh_lib
+from landiff_tpu.parallel import tp_infer
+
+from test_tp_infer import _params_and_inputs, _step_dict
+
+
+def _mesh(data=1, time=4):
+    return mesh_lib.make_mesh(MeshConfig(data=data, model=1, time=time),
+                              jax.devices()[:data * time])
+
+
+def _compare_sp_vs_single(cfg_full, mesh, *, int8=None, rtol=2e-4):
+    params, x, ctx, tokens = _params_and_inputs(cfg_full)
+    uc = jnp.zeros_like(ctx)
+    dfn, b = engine.make_denoise_fn(
+        params["main"], params["control"], params["semantic"], cfg_full.dit,
+        cfg_full.sampler, cfg_full.tokenizer, cfg_full.semantic_cond, ctx,
+        uc, tokens, compute_dtype=jnp.float32, attn_impl="xla")
+    step = _step_dict(cfg_full.sampler)
+    want = np.asarray(jax.jit(dfn)(x, step, b))
+
+    sfn, sb = tp_infer.make_tp_denoise_fn(
+        params, mesh, cfg_full.dit, cfg_full.sampler, cfg_full.tokenizer,
+        cfg_full.semantic_cond, ctx, uc, tokens,
+        compute_dtype=jnp.float32, attn_impl="xla", int8=int8)
+    got = np.asarray(jax.jit(sfn)(x, step, sb))
+    if int8:
+        corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+        assert corr > 0.999, corr
+        rel = np.abs(got - want).mean() / (np.abs(want).mean() + 1e-9)
+        assert rel < 0.03, rel
+    else:
+        np.testing.assert_allclose(got, want, rtol=rtol, atol=rtol)
+    return sfn, sb, x, step
+
+
+def test_sp_denoise_matches_single_chip():
+    # S = 8 text + 72 video = 80 over time=4 -> 20 tokens/shard; the
+    # text/video adaLN boundary (8) falls INSIDE shard 0, exercising the
+    # offset position-select
+    cfg = tiny_test_config()
+    _compare_sp_vs_single(cfg, _mesh(data=2, time=4))
+
+
+def test_sp_denoise_time_only_mesh():
+    cfg = tiny_test_config()
+    _compare_sp_vs_single(cfg, _mesh(data=1, time=8))
+
+
+def test_sp_denoise_int8():
+    """Single-chip int8 layout (dit.quantize_int8) under SP: weights
+    replicated, per-token activation scales shard-local -> same quantized
+    numerics as single-chip int8, drift-bounded vs the exact output."""
+    cfg = tiny_test_config()
+    _compare_sp_vs_single(cfg, _mesh(data=2, time=4), int8=True)
+
+
+def test_sp_hlo_collectives_ring_only():
+    """SP's collective budget: ring ppermutes in the layers (2 transfers x
+    (n-1) hops x layers) + ONE tiled all-gather per branch end — and no
+    PER-LAYER all-reduce (the Megatron-TP cost model does not apply; a
+    small constant number of data-axis reshard reduces outside the layer
+    loop is fine)."""
+    cfg = tiny_test_config()
+    mesh = _mesh(data=2, time=4)
+    params, x, ctx, tokens = _params_and_inputs(cfg)
+    sfn, sb = tp_infer.make_tp_denoise_fn(
+        params, mesh, cfg.dit, cfg.sampler, cfg.tokenizer,
+        cfg.semantic_cond, ctx, jnp.zeros_like(ctx), tokens,
+        compute_dtype=jnp.float32, attn_impl="xla")
+    step = _step_dict(cfg.sampler)
+    counts = tp_infer.count_hlo_collectives(sfn, x, step, sb)
+    assert counts["collective_permute"] >= 1, counts
+    assert counts["all_gather"] >= 1, counts
+    layers = cfg.dit.num_layers + cfg.dit.control_layers
+    assert counts["all_reduce"] < layers, counts
+
+
+def test_sp_pipeline_e2e_matches_single():
+    """Whole stage-2 wrapper on a (data=2, time=4) mesh vs single chip:
+    SP denoise + temporal-CP VAE decode -> same video."""
+    from landiff_tpu.pipeline import dif_infer
+
+    cfg = tiny_test_config()
+    params = dif_infer.init_params(jax.random.PRNGKey(0), cfg)
+    tokens = np.zeros((cfg.tokenizer.titok.latent_tokens,), np.int32)
+    task = dif_infer.VideoTask(save_file_name="t.mp4", prompt="a cat",
+                               seed=3, semantic_token=tokens)
+    single = dif_infer.CogModelInferWrapper(params, cfg,
+                                            compute_dtype=jnp.float32,
+                                            attn_impl="xla")
+    out_single = single(dataclasses.replace(task))
+    meshed = dif_infer.CogModelInferWrapper(params, cfg,
+                                            compute_dtype=jnp.float32,
+                                            attn_impl="xla",
+                                            mesh=_mesh(data=2, time=4))
+    out_mesh = meshed(dataclasses.replace(task))
+    np.testing.assert_allclose(out_mesh.latent, out_single.latent,
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(out_mesh.result, out_single.result,
+                               rtol=0, atol=1 / 255.0 + 1e-6)
+
+
+def test_ring_log2_merge_matches_dense():
+    """The Pallas-path hop merge: two flash_attention calls over disjoint
+    kv chunks, merged via the log2-domain lse combination, must equal
+    dense attention over the full kv — the exact computation each ring
+    hop performs on TPU (no shard_map needed to validate the math)."""
+    from landiff_tpu.ops import attention as attn_lib
+    from landiff_tpu.parallel import ring_attention as ring
+
+    k = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(k, 3)
+    B, S, H, D = 1, 256, 2, 16
+    q = jax.random.normal(kq, (B, S, H, D), jnp.float32)
+    kf = jax.random.normal(kk, (B, S, H, D), jnp.float32)
+    vf = jax.random.normal(kv, (B, S, H, D), jnp.float32)
+    half = S // 2
+    o1, l1 = ring._local_attn_flash(q, kf[:, :half], vf[:, :half],
+                                    1.0 / np.sqrt(D))
+    o2, l2 = ring._local_attn_flash(q, kf[:, half:], vf[:, half:],
+                                    1.0 / np.sqrt(D))
+    merged, _ = ring._merge(o1, l1, o2, l2, exp=jnp.exp2, log=jnp.log2)
+    want = attn_lib.mha_reference(q, kf, vf)
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
