@@ -206,7 +206,8 @@ def _layer(p, x, emb, cfg: DiTConfig, attn_impl):
     return x
 
 
-def _layer_tp(p, x, emb, cfg: DiTConfig, attn_impl, axis: str):
+def _layer_tp(p, x, emb, cfg: DiTConfig, attn_impl, axis: str,
+              sp_axis=None, offset=0):
     """Megatron-TP variant of `_layer`, run INSIDE shard_map: `p` holds the
     LOCAL shard of the tp-prepped layer params (parallel/tp_infer.py) —
     qkv_w (D, 3, H_local, Dk) column-parallel, attn_out_w (H_local, Dk, D)
@@ -219,7 +220,14 @@ def _layer_tp(p, x, emb, cfg: DiTConfig, attn_impl, axis: str):
     prep pads to H_pad with ZERO q/k/v weights and zero attn_out rows —
     a pad head's v is 0, so its softmax output is 0 and it contributes
     nothing; exactness is preserved (qk_ln on a zero vector yields the
-    constant bias -> uniform softmax over zero v, still 0)."""
+    constant bias -> uniform softmax over zero v, still 0).
+
+    sp_axis/offset: optional 2-D hybrid — x additionally holds only the
+    LOCAL tokens [offset, offset + S) sharded over `sp_axis` (the `time`
+    mesh axis); attention becomes a ring over sp_axis on the local heads
+    (each time-shard carries the SAME head shard, so the ring stays within
+    one model index). This is the v5e-16/32 layout: model=4 x time=2/4
+    (see parallel/tp_infer.py)."""
     B, S, D = x.shape
     tl = cfg.text_length
     dt = x.dtype
@@ -228,7 +236,7 @@ def _layer_tp(p, x, emb, cfg: DiTConfig, attn_impl, axis: str):
 
     sel, (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp,
           t_shift_msa, t_scale_msa, t_gate_msa, t_shift_mlp, t_scale_mlp,
-          t_gate_mlp) = _adaln_sel(p, emb, S, tl, dt)
+          t_gate_mlp) = _adaln_sel(p, emb, S, tl, dt, offset=offset)
 
     h = layer_norm(x, p["ln1_w"], p["ln1_b"], 1e-6)
     h = h * (1.0 + sel(t_scale_msa, scale_msa)) + sel(t_shift_msa, shift_msa)
@@ -244,7 +252,15 @@ def _layer_tp(p, x, emb, cfg: DiTConfig, attn_impl, axis: str):
     if cfg.qk_ln:
         q = layer_norm(q, p["q_ln_w"], p["q_ln_b"], 1e-6)
         k = layer_norm(k, p["k_ln_w"], p["k_ln_b"], 1e-6)
-    attn = attention(q, k, v, impl=attn_impl).reshape(B, S, Hl * Dk)
+    if sp_axis is not None:
+        from landiff_tpu.parallel.ring_attention import ring_attention_local
+
+        ring_impl = ("pallas" if attn_impl in ("auto", "pallas")
+                     and jax.default_backend() == "tpu" else "xla")
+        attn = ring_attention_local(q, k, v, sp_axis, impl=ring_impl)
+    else:
+        attn = attention(q, k, v, impl=attn_impl)
+    attn = attn.reshape(B, S, Hl * Dk)
     wo = p["attn_out_w"]
     if isinstance(wo, dict):
         # per-token activation scales are LOCAL to this shard's features;
@@ -460,29 +476,51 @@ def control_warp_forward(main_params, control_params, x, timesteps, context,
 # explicit per-shard compute + psum collectives over the `model` mesh axis.
 
 
+def _sp_slice(h, sp_axis):
+    """(local token count, global offset, sliced h) for an sp_axis shard."""
+    S = h.shape[1]
+    n = jax.lax.axis_size(sp_axis)
+    assert S % n == 0, (S, n)
+    s_loc = S // n
+    offset = jax.lax.axis_index(sp_axis) * s_loc
+    return offset, jax.lax.dynamic_slice_in_dim(h, offset, s_loc, 1)
+
+
 def forward_tp(params, x, timesteps, context, cfg: DiTConfig, *, axis: str,
                control_outputs=None, attn_impl="auto",
-               compute_dtype=jnp.bfloat16):
+               compute_dtype=jnp.bfloat16, sp_axis=None):
     """Main DiT forward with TP-local transformer layers. Embeddings and
-    the final head are replicated compute (tiny next to the blocks)."""
+    the final head are replicated compute (tiny next to the blocks).
+    sp_axis: optional 2-D hybrid — tokens additionally sharded over this
+    mesh axis with ring attention (see _layer_tp)."""
     h, emb = _embed_inputs(params, x, timesteps, context, cfg, compute_dtype)
+    offset = 0
+    if sp_axis is not None:
+        offset, h = _sp_slice(h, sp_axis)
     for i, p in enumerate(params["layers"]):
-        h = _layer_tp(p, h, emb, cfg, attn_impl, axis)
+        h = _layer_tp(p, h, emb, cfg, attn_impl, axis, sp_axis, offset)
         if control_outputs is not None and i < len(control_outputs):
             h = h + control_outputs[i].astype(h.dtype)
+    if sp_axis is not None:
+        h = jax.lax.all_gather(h, sp_axis, axis=1, tiled=True)
     return _final_head(params, h, emb, cfg)
 
 
 def control_forward_tp(params, x, timesteps, context, cfg: DiTConfig,
                        semantic_feature, *, axis: str, attn_impl="auto",
-                       compute_dtype=jnp.bfloat16):
+                       compute_dtype=jnp.bfloat16, sp_axis=None):
     """TP control branch; zero_linear stays replicated (D x D per layer —
-    small, and its output feeds the replicated main stream)."""
+    small, and its output feeds the replicated main stream). Under a 2-D
+    hybrid the taps stay sp-LOCAL (the main stream shares the token
+    sharding — no gather)."""
     x = x.astype(compute_dtype) + semantic_feature.astype(compute_dtype)
     h, emb = _embed_inputs(params, x, timesteps, context, cfg, compute_dtype)
+    offset = 0
+    if sp_axis is not None:
+        offset, h = _sp_slice(h, sp_axis)
     outs = []
     for p in params["layers"]:
-        h = _layer_tp(p, h, emb, cfg, attn_impl, axis)
+        h = _layer_tp(p, h, emb, cfg, attn_impl, axis, sp_axis, offset)
         h = h @ p["zero_linear_w"].astype(h.dtype)
         outs.append(h)
     return outs
@@ -491,18 +529,19 @@ def control_forward_tp(params, x, timesteps, context, cfg: DiTConfig,
 def control_warp_forward_tp(main_params, control_params, x, timesteps,
                             context, cfg: DiTConfig, semantic_feature, *,
                             axis: str, attn_impl="auto",
-                            compute_dtype=jnp.bfloat16):
-    """ControlDiffWarp.forward under TP (dit_video_concat.py:1196-1200)."""
+                            compute_dtype=jnp.bfloat16, sp_axis=None):
+    """ControlDiffWarp.forward under TP (dit_video_concat.py:1196-1200),
+    optionally 2-D hybrid (x sp_axis token sharding)."""
     import dataclasses
 
     ctrl_cfg = dataclasses.replace(cfg, num_layers=cfg.control_layers)
     ctrl = control_forward_tp(control_params, x, timesteps, context,
                               ctrl_cfg, semantic_feature, axis=axis,
                               attn_impl=attn_impl,
-                              compute_dtype=compute_dtype)
+                              compute_dtype=compute_dtype, sp_axis=sp_axis)
     return forward_tp(main_params, x, timesteps, context, cfg,
                       control_outputs=ctrl, axis=axis, attn_impl=attn_impl,
-                      compute_dtype=compute_dtype)
+                      compute_dtype=compute_dtype, sp_axis=sp_axis)
 
 
 # ---------------------------------------------------------------------------
@@ -522,12 +561,7 @@ def forward_sp(params, x, timesteps, context, cfg: DiTConfig, *, axis: str,
     on the all-gathered sequence (one (B, S, D) gather per forward).
     control_outputs are LOCAL shards (control_forward_sp output)."""
     h, emb = _embed_inputs(params, x, timesteps, context, cfg, compute_dtype)
-    S = h.shape[1]
-    n = jax.lax.axis_size(axis)
-    assert S % n == 0, (S, n)
-    s_loc = S // n
-    offset = jax.lax.axis_index(axis) * s_loc
-    h = jax.lax.dynamic_slice_in_dim(h, offset, s_loc, 1)
+    offset, h = _sp_slice(h, axis)
     for i, p in enumerate(params["layers"]):
         h = _layer_sp(p, h, emb, cfg, attn_impl, axis, offset)
         if control_outputs is not None and i < len(control_outputs):
@@ -544,12 +578,7 @@ def control_forward_sp(params, x, timesteps, context, cfg: DiTConfig,
     control path needs no gather at all."""
     x = x.astype(compute_dtype) + semantic_feature.astype(compute_dtype)
     h, emb = _embed_inputs(params, x, timesteps, context, cfg, compute_dtype)
-    S = h.shape[1]
-    n = jax.lax.axis_size(axis)
-    assert S % n == 0, (S, n)
-    s_loc = S // n
-    offset = jax.lax.axis_index(axis) * s_loc
-    h = jax.lax.dynamic_slice_in_dim(h, offset, s_loc, 1)
+    offset, h = _sp_slice(h, axis)
     outs = []
     for p in params["layers"]:
         h = _layer_sp(p, h, emb, cfg, attn_impl, axis, offset)

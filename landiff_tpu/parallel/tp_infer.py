@@ -27,7 +27,9 @@ denoise instead (dit.forward_sp): weights replicated, the 17776-token
 (parallel/ring_attention.py) — no per-layer all-reduce, and scaling is
 not capped by the 30-head count (tp tops out at model=30; S splits over
 8/16/32 chips exactly). The reference has no sequence-parallel DiT (its
-CP covers only the VAE).
+CP covers only the VAE). Both axes together (e.g. data=2,model=4,time=2
+on v5e-16) run the 2-D hybrid: heads Megatron-sharded within each ring
+position, tokens ring-sharded across them (dit.forward_tp sp_axis).
 """
 
 from __future__ import annotations
@@ -184,14 +186,16 @@ def make_tp_denoise_fn(params, mesh: Mesh, dit_cfg: DiTConfig,
 
     if int8 is None:
         int8 = os.environ.get("LANDIFF_DIT_INT8") == "1"
-    sp = mesh.shape.get(SP_AXIS, 1) > 1
-    if sp:
-        # sequence-parallel mode (mesh time>1): weights replicated, tokens
-        # sharded, ring attention — no tp prep / head padding needed. The
-        # single-chip int8 layout (dit.quantize_int8) applies unchanged.
-        assert mesh.shape.get(TP_AXIS, 1) == 1, (
-            "combined model x time sharding of the denoise step is not "
-            "wired; use one of tp (model=N) or sp (time=N)", dict(mesh.shape))
+    has_sp = mesh.shape.get(SP_AXIS, 1) > 1
+    has_tp = mesh.shape.get(TP_AXIS, 1) > 1
+    # mode: 'tp' (Megatron heads), 'sp' (token ring), 'tpsp' (2-D hybrid —
+    # the v5e-16/32 layout: heads over `model`, tokens over `time`)
+    mode = ("tpsp" if has_tp and has_sp else "sp" if has_sp else "tp")
+    if mode == "sp":
+        # sequence-parallel mode (mesh time>1, model=1): weights
+        # replicated, tokens sharded, ring attention — no tp prep / head
+        # padding needed. The single-chip int8 layout (dit.quantize_int8)
+        # applies unchanged.
         from landiff_tpu.models import dit as dit_lib
 
         def _prep_sp(p):
@@ -229,7 +233,7 @@ def make_tp_denoise_fn(params, mesh: Mesh, dit_cfg: DiTConfig,
 
     denoise_fn = _tp_denoise_fn_for(mesh, dit_cfg, _freeze_tree(main_specs),
                                     _freeze_tree(ctrl_specs), compute_dtype,
-                                    attn_impl, sp=sp)
+                                    attn_impl, mode=mode)
     return denoise_fn, bundle
 
 
@@ -261,14 +265,14 @@ def _freeze_tree(tree):
 @functools.lru_cache(maxsize=8)
 def _tp_denoise_fn_for(mesh: Mesh, dit_cfg: DiTConfig, frozen_main_specs,
                        frozen_ctrl_specs, compute_dtype, attn_impl,
-                       sp: bool = False):
+                       mode: str = "tp"):
     """The shard_map denoise program, cached on its real dependencies
     (mesh / config / spec trees) so every segment of a long-video run and
     every warm/timed bench pass reuses ONE function object — which keys the
     sampler's jitted chunk program cache (samplers._dpmpp2m_chunk_program)
     and avoids re-tracing the full 45-layer sharded DiT per call.
-    sp selects the sequence-parallel body (dit.control_warp_forward_sp
-    over the `time` axis) instead of Megatron TP."""
+    mode: 'tp' (Megatron heads over `model`), 'sp' (token ring over
+    `time`, dit.control_warp_forward_sp), 'tpsp' (2-D hybrid)."""
     from landiff_tpu.models import dit as dit_lib
 
     main_specs = jax.tree_util.tree_unflatten(frozen_main_specs[1],
@@ -276,16 +280,19 @@ def _tp_denoise_fn_for(mesh: Mesh, dit_cfg: DiTConfig, frozen_main_specs,
     ctrl_specs = jax.tree_util.tree_unflatten(frozen_ctrl_specs[1],
                                               list(frozen_ctrl_specs[0]))
 
-    if sp:
+    if mode == "sp":
         def local_net(mp, cp, x2, ts, ctx2, sem2):
             return dit_lib.control_warp_forward_sp(
                 mp, cp, x2, ts, ctx2, dit_cfg, sem2, axis=SP_AXIS,
                 attn_impl=attn_impl, compute_dtype=compute_dtype)
     else:
+        sp_axis = SP_AXIS if mode == "tpsp" else None
+
         def local_net(mp, cp, x2, ts, ctx2, sem2):
             return dit_lib.control_warp_forward_tp(
                 mp, cp, x2, ts, ctx2, dit_cfg, sem2, axis=TP_AXIS,
-                attn_impl=attn_impl, compute_dtype=compute_dtype)
+                attn_impl=attn_impl, compute_dtype=compute_dtype,
+                sp_axis=sp_axis)
 
     d = P(DATA_AXIS)
     net = jax.shard_map(local_net, mesh=mesh,

@@ -62,6 +62,27 @@ def test_sp_denoise_time_only_mesh():
     _compare_sp_vs_single(cfg, _mesh(data=1, time=8))
 
 
+def test_tpsp_hybrid_denoise_matches_single_chip():
+    """2-D hybrid (the v5e-16/32 layout in miniature): heads Megatron-
+    sharded over model=2 AND tokens ring-sharded over time=2, CFG rows
+    over data=2 — 8 devices, all three mesh axes live at once."""
+    cfg = tiny_test_config()
+    mesh = mesh_lib.make_mesh(MeshConfig(data=2, model=2, time=2),
+                              jax.devices()[:8])
+    _compare_sp_vs_single(cfg, mesh)
+
+
+def test_tpsp_hybrid_head_padding_int8():
+    """Hybrid with BOTH hazards at once: 3 heads zero-padded over model=2
+    (-> 4) and int8 tp-layout weights, tokens over time=2."""
+    cfg = tiny_test_config()
+    dit = dataclasses.replace(cfg.dit, hidden_size=48, num_heads=3)
+    cfg = dataclasses.replace(cfg, dit=dit)
+    mesh = mesh_lib.make_mesh(MeshConfig(data=2, model=2, time=2),
+                              jax.devices()[:8])
+    _compare_sp_vs_single(cfg, mesh, int8=True)
+
+
 def test_sp_denoise_int8():
     """Single-chip int8 layout (dit.quantize_int8) under SP: weights
     replicated, per-token activation scales shard-local -> same quantized
