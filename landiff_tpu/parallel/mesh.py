@@ -126,10 +126,25 @@ def _fit_spec(spec: P, shape, mesh: Mesh | None) -> P:
 def param_specs(params, rules, mesh: Mesh | None = None):
     """Pytree of PartitionSpecs matching `params`. With `mesh` given,
     specs are divisibility-checked against leaf shapes (non-dividing axes
-    degrade to replicated)."""
-    return jax.tree_util.tree_map_with_path(
-        lambda path, x: _fit_spec(spec_for(_path_str(path), rules),
-                                  np.shape(x), mesh), params)
+    degrade to replicated).
+
+    int8 {q, s} leaves (gpt/dit quantize_int8: per-output-channel scales,
+    reduction over weight axis 0) inherit the BASE weight's rule: q shards
+    like the raw weight, s like the weight minus its first (contracted)
+    dim — so e.g. a column-parallel (None, model) wqkv quantizes to
+    q (None, model) / s (model,), and a row-parallel (model, None) wo to
+    q (model, None) / s replicated. A full-path rule match (e.g. T5's
+    attn/q leaf NAME) takes precedence over the suffix interpretation."""
+    def spec(path, x):
+        p = _path_str(path)
+        s = spec_for(p, rules)
+        if not any(s) and (p.endswith("/q") or p.endswith("/s")):
+            base, leaf = p.rsplit("/", 1)
+            bs = spec_for(base, rules)
+            s = bs if leaf == "q" else P(*bs[1:])
+        return _fit_spec(s, np.shape(x), mesh)
+
+    return jax.tree_util.tree_map_with_path(spec, params)
 
 
 def shard_params(params, mesh: Mesh, rules):

@@ -19,7 +19,9 @@ with an explicit shard_map program over a (data, model) mesh:
     are bit-comparable to the unsharded model up to reduction order.
 
 The VAE stays on the streaming decode (replicated) or vae_cp over `time`;
-stage 1 decode is latency-bound and replicated (PARITY.md).
+stage 1's GPT decode TP-shards over `model` via the GSPMD rules instead
+(pipeline/llm_infer.py — weights-bandwidth bound, so splitting the weight
+reads is the lever; PARITY.md).
 
 A `time`-axis mesh (e.g. data=2,time=4) selects the SEQUENCE-PARALLEL
 denoise instead (dit.forward_sp): weights replicated, the 17776-token

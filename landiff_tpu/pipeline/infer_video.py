@@ -29,9 +29,11 @@ def build_pipeline(cfg: LanDiffConfig, sample_cfg: ARSampleConfig,
                    compute_dtype=jnp.bfloat16, mesh=None):
     """Returns (llm_wrapper, dif_wrapper). With a checkpoint dir, loads
     converted weights (ckpt/convert.py); otherwise random-init (smoke).
-    mesh: optional Mesh — stage-2 denoising runs the TP/DP shard_map
-    program (parallel/tp_infer.py); stage 1 stays replicated (its decode
-    is weights-bandwidth/latency bound, PARITY.md)."""
+    mesh: optional Mesh — stage-2 denoising runs the TP/DP/SP shard_map
+    program (parallel/tp_infer.py); a `model` axis also TP-shards the
+    stage-1 GPT (its decode is weights-bandwidth bound, so splitting the
+    weight reads tp-ways is the one lever that shrinks per-step latency —
+    PARITY.md)."""
     if ckpt_dir is not None:
         from landiff_tpu.ckpt import load as ckpt_load
 
@@ -52,7 +54,7 @@ def build_pipeline(cfg: LanDiffConfig, sample_cfg: ARSampleConfig,
     real = ckpt_dir is not None
     llm = llm_infer.ArModelInferWrapper(
         llm_params, cfg.llm, cfg.t5, sample_cfg, tokenizer_dir=tok_dir,
-        compute_dtype=compute_dtype, require_real_tokenizer=real)
+        compute_dtype=compute_dtype, require_real_tokenizer=real, mesh=mesh)
     dif = dif_infer.CogModelInferWrapper(
         dif_params, cfg, tokenizer_dir=tok_dir, compute_dtype=compute_dtype,
         require_real_tokenizer=real, mesh=mesh)

@@ -44,7 +44,8 @@ class ArModelInferWrapper:
                  tokenizer_dir: str | None = None,
                  compute_dtype=jnp.bfloat16,
                  require_real_tokenizer: bool = False,
-                 int8_decode: bool | None = None):
+                 int8_decode: bool | None = None,
+                 mesh=None):
         import os
 
         if int8_decode is None:
@@ -58,7 +59,20 @@ class ArModelInferWrapper:
             lm_p = dict(params["lm"])
             lm_p["gpt"] = gpt_lib.quantize_int8(lm_p["gpt"])
             params["lm"] = lm_p
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            # TP-shard the GPT over `model` (GSPMD through the jitted
+            # while_loop decode; mesh.GPT_RULES, int8 {q, s} leaves
+            # inherit the base rule). Decode at batch<=2 is weights-
+            # bandwidth bound (PARITY.md), so splitting the weight reads
+            # tp-ways cuts per-step latency nearly tp-fold — the one
+            # stage-1 lever DP can't touch.
+            from landiff_tpu.parallel import mesh as mesh_lib
+
+            params = dict(params)
+            params["lm"] = mesh_lib.shard_params(params["lm"], mesh,
+                                                 mesh_lib.GPT_RULES)
         self.params = params
+        self.mesh = mesh
         self.llm_cfg = llm_cfg
         self.t5_cfg = t5_cfg
         self.sample_cfg = sample_cfg or ARSampleConfig()
@@ -102,9 +116,13 @@ class ArModelInferWrapper:
 
         sched = lm_lib.build_schedule(cfg, prompt_feats.shape[0],
                                       sc.num_frames)
-        codes = lm_lib.sample(lm_params, cfg, sched, rows, sc,
-                              rng_key=jax.random.PRNGKey(sc.seed),
-                              compute_dtype=self.compute_dtype)
+        import contextlib
+
+        with (self.mesh if self.mesh is not None
+              else contextlib.nullcontext()):
+            codes = lm_lib.sample(lm_params, cfg, sched, rows, sc,
+                                  rng_key=jax.random.PRNGKey(sc.seed),
+                                  compute_dtype=self.compute_dtype)
         task = dataclasses.replace(task, result=np.asarray(codes))
         logger.info("sampled %d semantic tokens for %r", len(codes),
                     task.prompt[:60])

@@ -33,7 +33,8 @@ def _generate(prompt: str, cfg_scale: float, motion_score: float, seed: int):
         res = run(prompt, output_dir="results/serving", seed=seed,
                   cfg_scale=cfg_scale, motion_score=motion_score,
                   tiny=_PIPELINE.get("tiny", False),
-                  ckpt_dir=_PIPELINE.get("ckpt_dir"))
+                  ckpt_dir=_PIPELINE.get("ckpt_dir"),
+                  mesh_spec=_PIPELINE.get("mesh"))
     return res
 
 
@@ -116,10 +117,14 @@ def main():
     parser.add_argument("--port", type=int, default=7860)
     parser.add_argument("--tiny", action="store_true")
     parser.add_argument("--ckpt-dir", default=None)
+    parser.add_argument("--mesh", default=None,
+                        help="device mesh for multi-chip stage-2, e.g. "
+                             "data=2,model=4 or data=2,time=4")
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
     _PIPELINE["tiny"] = args.tiny
     _PIPELINE["ckpt_dir"] = args.ckpt_dir
+    _PIPELINE["mesh"] = args.mesh
     try:
         launch_gradio(args.port)
     except ImportError:

@@ -96,3 +96,69 @@ def test_tp_sharded_titok_matches_replicated():
     np.testing.assert_array_equal(np.asarray(got_idx), np.asarray(want_idx))
     np.testing.assert_allclose(np.asarray(got_q), np.asarray(want_q),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_tp_sharded_int8_gpt_decode_matches_replicated():
+    """int8 {q, s} leaves inherit the base weight's rule (param_specs):
+    column-parallel wqkv -> q (None, model) / s (model,); row-parallel
+    wo -> q (model, None) / s replicated — and the sharded int8 decode
+    matches the replicated int8 decode exactly."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from landiff_tpu.models import gpt
+    from landiff_tpu.ops.rope import rope_1d_table
+
+    cfg = CFG.llm
+    params = gpt.quantize_int8(gpt.init(jax.random.PRNGKey(0), cfg))
+    cos_t, sin_t = rope_1d_table(cfg.rope)
+    S = 6
+    cos, sin = jnp.asarray(cos_t[:S]), jnp.asarray(sin_t[:S])
+    feats = jax.random.normal(jax.random.PRNGKey(1),
+                              (1, S, cfg.hidden_size)) * 0.3
+
+    def run(p):
+        cache = gpt.KVCache.create(cfg, 1, S, jnp.float32)
+        logits, cache = gpt.prefill(p, feats[:, :-1], cache, cfg,
+                                    cos[:-1], sin[:-1],
+                                    compute_dtype=jnp.float32)
+        l2, _ = gpt.decode_step(p, feats[:, -1:], cache, S - 1, cfg,
+                                cos[-1:], sin[-1:],
+                                compute_dtype=jnp.float32)
+        return logits, l2
+
+    want1, want2 = run(params)
+    mesh = _mesh(4)
+    sharded = mesh_lib.shard_params(params, mesh, mesh_lib.GPT_RULES)
+    blk = sharded["blocks"][0]
+    assert blk["wqkv"]["q"].sharding == NamedSharding(mesh, P(None, "model"))
+    assert blk["wqkv"]["s"].sharding == NamedSharding(mesh, P("model"))
+    assert blk["wo"]["q"].sharding == NamedSharding(mesh, P("model", None))
+    assert blk["wo"]["s"].sharding.is_equivalent_to(
+        NamedSharding(mesh, P()), 1)
+    with mesh:
+        got1, got2 = jax.jit(run)(sharded)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(want1),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_stage1_wrapper_mesh_matches_single():
+    """ArModelInferWrapper(mesh=...): the TP-sharded constrained AR decode
+    must emit the same codes as the replicated wrapper."""
+    from landiff_tpu.config import ARSampleConfig
+    from landiff_tpu.pipeline import llm_infer
+
+    params = llm_infer.init_params(jax.random.PRNGKey(0), CFG.llm, CFG.t5)
+    sc = ARSampleConfig(num_frames=CFG.llm.frames_per_segment, seed=5)
+    task = llm_infer.CodeTask(save_file_name="t", prompt="a cat")
+    single = llm_infer.ArModelInferWrapper(
+        params, CFG.llm, CFG.t5, sc, compute_dtype=jnp.float32,
+        int8_decode=False)
+    want = single(task).result
+    mesh = _mesh(4)
+    meshed = llm_infer.ArModelInferWrapper(
+        params, CFG.llm, CFG.t5, sc, compute_dtype=jnp.float32,
+        int8_decode=False, mesh=mesh)
+    got = meshed(task).result
+    np.testing.assert_array_equal(got, want)
