@@ -554,16 +554,21 @@ def control_warp_forward_tp(main_params, control_params, x, timesteps,
 
 def forward_sp(params, x, timesteps, context, cfg: DiTConfig, *, axis: str,
                control_outputs=None, attn_impl="auto",
-               compute_dtype=jnp.bfloat16):
+               compute_dtype=jnp.bfloat16, remat=False):
     """Main DiT forward, sequence-parallel. Embeddings run replicated on
     the full sequence (one patchify conv + text proj — tiny next to the
     blocks), each shard then slices its token range; the final head runs
     on the all-gathered sequence (one (B, S, D) gather per forward).
-    control_outputs are LOCAL shards (control_forward_sp output)."""
+    control_outputs are LOCAL shards (control_forward_sp output).
+    remat: per-layer gradient checkpointing for the SP TRAINING path
+    (training/diffusion_loss.make_train_step_sp) — residuals shrink to
+    the 1/n_time local token shard."""
     h, emb = _embed_inputs(params, x, timesteps, context, cfg, compute_dtype)
     offset, h = _sp_slice(h, axis)
+    layer_fn = (jax.checkpoint(_layer_sp, static_argnums=(3, 4, 5))
+                if remat else _layer_sp)
     for i, p in enumerate(params["layers"]):
-        h = _layer_sp(p, h, emb, cfg, attn_impl, axis, offset)
+        h = layer_fn(p, h, emb, cfg, attn_impl, axis, offset)
         if control_outputs is not None and i < len(control_outputs):
             h = h + control_outputs[i].astype(h.dtype)
     h = jax.lax.all_gather(h, axis, axis=1, tiled=True)
@@ -572,16 +577,18 @@ def forward_sp(params, x, timesteps, context, cfg: DiTConfig, *, axis: str,
 
 def control_forward_sp(params, x, timesteps, context, cfg: DiTConfig,
                        semantic_feature, *, axis: str, attn_impl="auto",
-                       compute_dtype=jnp.bfloat16):
+                       compute_dtype=jnp.bfloat16, remat=False):
     """SP control branch: returns LOCAL (B, S_local, D) zero-linear taps —
     the main stream adds them shard-locally (same token sharding), so the
     control path needs no gather at all."""
     x = x.astype(compute_dtype) + semantic_feature.astype(compute_dtype)
     h, emb = _embed_inputs(params, x, timesteps, context, cfg, compute_dtype)
     offset, h = _sp_slice(h, axis)
+    layer_fn = (jax.checkpoint(_layer_sp, static_argnums=(3, 4, 5))
+                if remat else _layer_sp)
     outs = []
     for p in params["layers"]:
-        h = _layer_sp(p, h, emb, cfg, attn_impl, axis, offset)
+        h = layer_fn(p, h, emb, cfg, attn_impl, axis, offset)
         outs.append(h @ p["zero_linear_w"].astype(h.dtype))
     return outs
 
@@ -589,7 +596,7 @@ def control_forward_sp(params, x, timesteps, context, cfg: DiTConfig,
 def control_warp_forward_sp(main_params, control_params, x, timesteps,
                             context, cfg: DiTConfig, semantic_feature, *,
                             axis: str, attn_impl="auto",
-                            compute_dtype=jnp.bfloat16):
+                            compute_dtype=jnp.bfloat16, remat=False):
     """ControlDiffWarp.forward under sequence parallelism."""
     import dataclasses
 
@@ -597,10 +604,10 @@ def control_warp_forward_sp(main_params, control_params, x, timesteps,
     ctrl = control_forward_sp(control_params, x, timesteps, context,
                               ctrl_cfg, semantic_feature, axis=axis,
                               attn_impl=attn_impl,
-                              compute_dtype=compute_dtype)
+                              compute_dtype=compute_dtype, remat=remat)
     return forward_sp(main_params, x, timesteps, context, cfg,
                       control_outputs=ctrl, axis=axis, attn_impl=attn_impl,
-                      compute_dtype=compute_dtype)
+                      compute_dtype=compute_dtype, remat=remat)
 
 
 def control_mlp_adapter_forward(params, x, context, cfg: DiTConfig, *,

@@ -75,15 +75,18 @@ def ring_attention_local(q, k, v, axis: str, *, scale=None, impl="xla"):
         local, merge = _local_attn, _merge
     out, lse = local(q, k, v, scale)
 
-    def body(_, carry):
+    def body(carry, _):
         out, lse, kr, vr = carry
         kr = jax.lax.ppermute(kr, axis, perm)
         vr = jax.lax.ppermute(vr, axis, perm)
         o2, lse2 = local(q, kr, vr, scale)
         out, lse = merge(out, lse, o2, lse2)
-        return out, lse, kr, vr
+        return (out, lse, kr, vr), None
 
-    out, lse, _, _ = jax.lax.fori_loop(0, n - 1, body, (out, lse, k, v))
+    # scan (not fori_loop): reverse-mode differentiable, so the xla-impl
+    # ring can be trained through directly (sequence-parallel training)
+    (out, lse, _, _), _ = jax.lax.scan(body, (out, lse, k, v), None,
+                                       length=n - 1)
     return out.astype(q.dtype)
 
 

@@ -112,3 +112,92 @@ def make_train_step(optimizer, dit_cfg, sampler_cfg, tok_cfg, sem_cfg, *,
         return control_params, opt_state, loss
 
     return train_step
+
+
+def make_train_step_sp(optimizer, mesh, dit_cfg, sampler_cfg, tok_cfg,
+                       sem_cfg, *, fixed_frames: int = 0,
+                       compute_dtype=jnp.bfloat16, remat: bool = True,
+                       attn_impl: str = "xla"):
+    """SEQUENCE-PARALLEL ControlNet train step over a (data, time) mesh:
+    the 45-layer network forward/backward runs token-sharded over the
+    `time` axis (dit.control_warp_forward_sp — ring attention, replicated
+    weights) with DP over `data`. Per-chip layer activations shrink to the
+    1/n_time token shard, which is the lever for training sequences past
+    one chip's HBM (long-video training) — the reference ships no training
+    code at all, and its CP covers only the VAE (SURVEY §2.8).
+
+    Gradients are taken straight THROUGH the shard_map program: ring
+    ppermutes transpose to reverse-ring ppermutes and the replicated
+    control params' cotangents are psummed by the shard_map transpose —
+    verified exact against the single-device step
+    (tests/test_training_sp.py). attn_impl: 'xla' (default) keeps the ring
+    hops reverse-differentiable; hop scores materialize at
+    (B_loc, H, S/n, S/n) f32 per hop, bounded by remat to one layer.
+
+    Same call contract as make_train_step; batch inputs are consumed
+    data-sharded (place them with P('data') or pass host arrays)."""
+    from jax.sharding import PartitionSpec as P
+
+    DATA_AXIS, SP_AXIS = "data", "time"
+    n_data = mesh.shape[DATA_AXIS]
+
+    def local_loss(cp, mp, sp_, noised, x, idx, a, ctx, tokens):
+        B = noised.shape[0]
+        sem = sc_lib.semantic_feature_from_tokens(
+            sp_, tokens, tok_cfg, sem_cfg, forward_t=dit_cfg.latent_frames,
+            compute_dtype=compute_dtype)
+        net = dit_lib.control_warp_forward_sp(
+            mp, cp, noised.astype(compute_dtype), idx.astype(jnp.float32),
+            ctx, dit_cfg, sem, axis=SP_AXIS, attn_impl=attn_impl,
+            compute_dtype=compute_dtype, remat=remat).astype(jnp.float32)
+        denoised = net * (-jnp.sqrt(1.0 - a ** 2)) + noised * a
+        w = 1.0 / (1.0 - a ** 2)
+        tgt, out = x, denoised
+        if fixed_frames > 0:
+            tgt = tgt[:, fixed_frames:]
+            out = out[:, fixed_frames:]
+            w = jnp.broadcast_to(w, x.shape)[:, fixed_frames:]
+        per_sample = jnp.mean((w * (out - tgt) ** 2).reshape(B, -1), axis=1)
+        return jax.lax.psum(jnp.sum(per_sample), DATA_AXIS) / (B * n_data)
+
+    d = P(DATA_AXIS)
+    sm_loss = jax.shard_map(
+        local_loss, mesh=mesh,
+        in_specs=(P(), P(), P(), d, d, d, d, d, d), out_specs=P(),
+        check_vma=False)
+
+    def loss_fn(control_params, main_params, sem_params, latents, context,
+                tokens, key):
+        # global-batch noising identical to video_diffusion_loss (same key
+        # -> same idx/noise as the unsharded step; parity-tested)
+        B = latents.shape[0]
+        k_idx, k_noise = jax.random.split(key)
+        table = jnp.asarray(
+            schedule.zero_snr_sigmas(sampler_cfg,
+                                     sampler_cfg.num_train_timesteps,
+                                     return_idx=False).copy(), jnp.float32)
+        idx = uniform_sigma_indices(k_idx, B,
+                                    sampler_cfg.num_train_timesteps)
+        a = table[idx].reshape(B, 1, 1, 1, 1)
+        x = latents.astype(jnp.float32)
+        noise = jax.random.normal(k_noise, latents.shape, jnp.float32)
+        noised = x * a + noise * jnp.sqrt(1.0 - a ** 2)
+        if fixed_frames > 0:
+            noised = jnp.concatenate([x[:, :fixed_frames],
+                                      noised[:, fixed_frames:]], axis=1)
+        return sm_loss(control_params, main_params, sem_params, noised, x,
+                       idx, a, context, tokens)
+
+    def train_step(control_params, opt_state, main_params, sem_params,
+                   latents, context, tokens, key):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            control_params, main_params, sem_params, latents, context,
+            tokens, key)
+        updates, opt_state = optimizer.update(grads, opt_state,
+                                              control_params)
+        import optax
+
+        control_params = optax.apply_updates(control_params, updates)
+        return control_params, opt_state, loss
+
+    return train_step

@@ -135,9 +135,18 @@ def _setup_dit(cfg: LanDiffConfig, optimizer, mesh, dtype):
     sem_p = sc_lib.init(k3, cfg.tokenizer, cfg.semantic_cond, dtype=dtype)
     opt_state, opt_sh = zero.zero_shard_opt_state(optimizer.init(ctrl_p),
                                                   mesh)
-    raw = diffusion_loss.make_train_step(
-        optimizer, cfg.dit, cfg.sampler, cfg.tokenizer, cfg.semantic_cond,
-        compute_dtype=dtype)
+    if mesh.shape.get("time", 1) > 1 and mesh.shape.get("model", 1) == 1:
+        # sequence-parallel training (--mesh data=D,time=N): token-sharded
+        # ring-attention step — per-chip activations shrink to the 1/N
+        # token shard (the long-video training lever); weights replicated,
+        # so the DIT_RULES placement above degraded to replicated anyway
+        raw = diffusion_loss.make_train_step_sp(
+            optimizer, mesh, cfg.dit, cfg.sampler, cfg.tokenizer,
+            cfg.semantic_cond, compute_dtype=dtype)
+    else:
+        raw = diffusion_loss.make_train_step(
+            optimizer, cfg.dit, cfg.sampler, cfg.tokenizer,
+            cfg.semantic_cond, compute_dtype=dtype)
     # pin the updated opt_state to its ZeRO shardings (zero.py contract) —
     # with donated buffers GSPMD propagation alone can silently degrade the
     # output to replicated on a real mesh; params/loss stay GSPMD-chosen

@@ -82,3 +82,15 @@ def test_driver_resume_vq_keeps_codebook(tmp_path):
                               ckpt_dir=str(ckpt), save_every=10,
                               log_every=1, resume=True, tiny=True)
     assert np.isfinite(float(np.asarray(last["total_loss"])))
+
+
+def test_driver_smoke_dit_sp_mesh(tmp_path):
+    """--mesh data=2,time=4 routes the DiT driver through the sequence-
+    parallel train step (make_train_step_sp)."""
+    cfg = tiny_test_config()
+    data_dir = tmp_path / "data"
+    train_lib.synthesize("dit", cfg, 4, data_dir, shard_size=2)
+    state, last = train_lib.train(
+        "dit", str(data_dir), steps=2, batch_size=2, lr=1e-3,
+        mesh_spec="data=2,time=4", log_every=1, tiny=True)
+    assert np.isfinite(float(np.asarray(last["loss"])))
