@@ -153,10 +153,17 @@ def materialize(mask_fn, q_len: int, kv_len: int) -> np.ndarray:
 
     q = np.arange(q_len)[:, None]
     kv = np.arange(kv_len)[None, :]
-    # callers may be inside a jit trace (flash_attention builds its block
-    # tables at trace time) — force compile-time evaluation
-    with jax.ensure_compile_time_eval():
-        out = np.asarray(mask_fn(jnp.asarray(q), jnp.asarray(kv)))
+    # Mask specs are pure boolean algebra usable host-side (CLAUDE.md
+    # convention), so evaluate on plain NumPy first — this stays concrete
+    # even inside nested traces (grad-of-shard_map, where
+    # ensure_compile_time_eval cannot escape the ambient trace).
+    try:
+        out = np.asarray(mask_fn(q, kv))
+    except jax.errors.TracerArrayConversionError:
+        # spec closed over jnp values: force compile-time evaluation
+        # (works at plain jit trace level)
+        with jax.ensure_compile_time_eval():
+            out = np.asarray(mask_fn(jnp.asarray(q), jnp.asarray(kv)))
     # specs that ignore one operand return a broadcastable (1, kv) row
     return np.broadcast_to(out, (q_len, kv_len))
 

@@ -6,6 +6,15 @@ the ring via jax.lax.ppermute; each hop computes local attention and merges
 into the running result with the standard log-sum-exp combination. XLA
 overlaps the next ppermute with the current block's compute.
 
+Differentiable end-to-end (`ring_attention_diff` custom_vjp): the backward
+is a second ring pass — each hop computes that kv-block's dq/dk/dv from the
+GLOBAL logsumexp (the flash decomposition: p_j = 2^(s̃_j − L) is already the
+globally-normalized probability for block j), with dk/dv accumulators
+rotating around the ring alongside k/v so every block's gradient arrives
+back at its home shard after n hops. Hop kernels: the Pallas fused flash
+forward/backward (ops/attention.py — memory-bounded, the TPU training
+path) or dense einsums (CPU-mesh tests / tiny shapes).
+
 Layout: (B, S, H, Dh) with S sharded over `axis`; full (unmasked) attention
 (the DiT uses none).
 """
@@ -19,10 +28,12 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
+_LOG2E = 1.4426950408889634  # log2(e): natural <-> base-2 lse conversion
+
 
 def _local_attn(q, k, v, scale):
-    """Local attention -> (normalized out (B,Sq,H,Dh) fp32,
-    lse (B,Sq,H) fp32)."""
+    """Dense local attention -> (normalized out (B,Sq,H,Dh) fp32,
+    lse (B,Sq,H) fp32, natural log)."""
     s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
                    k.astype(jnp.float32)) * scale
     m = jnp.max(s, axis=-1, keepdims=True)
@@ -56,16 +67,8 @@ def _local_attn_flash(q, k, v, scale):
     return out.astype(jnp.float32), lse.transpose(0, 2, 1)
 
 
-def ring_attention_local(q, k, v, axis: str, *, scale=None, impl="xla"):
-    """Per-shard ring attention body (use under shard_map with q/k/v
-    sharded on `axis` along S). Returns the local output shard, q.dtype.
-
-    impl: 'xla' (dense einsum per hop — fine for small local blocks /
-    CPU-mesh tests) or 'pallas' (the flash kernel per hop, lse-merged in
-    its log2 domain — the TPU path; a (B, H, Sq_loc, Skv_loc) f32 score
-    block at production shapes would not fit HBM comfortably)."""
-    if scale is None:
-        scale = 1.0 / math.sqrt(q.shape[-1])
+def _ring_fwd(q, k, v, axis: str, scale, impl):
+    """Ring forward. Returns (out f32 (B,Sq,H,D), lse (B,Sq,H) LOG2)."""
     n = jax.lax.axis_size(axis)
     perm = [(i, (i + 1) % n) for i in range(n)]
     if impl == "pallas":
@@ -83,11 +86,101 @@ def ring_attention_local(q, k, v, axis: str, *, scale=None, impl="xla"):
         out, lse = merge(out, lse, o2, lse2)
         return (out, lse, kr, vr), None
 
-    # scan (not fori_loop): reverse-mode differentiable, so the xla-impl
-    # ring can be trained through directly (sequence-parallel training)
     (out, lse, _, _), _ = jax.lax.scan(body, (out, lse, k, v), None,
                                        length=n - 1)
+    if impl != "pallas":
+        lse = lse * _LOG2E  # natural -> log2, one residual convention
+    return out, lse
+
+
+def _hop_bwd_dense(q, kr, vr, do, lse2, delta, out, scale):
+    """Dense per-hop backward from the GLOBAL log2 lse: p is the globally
+    normalized probability block, so dv/ds/dq/dk follow the plain flash
+    gradient identities. All f32."""
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, kr) * (scale * _LOG2E)
+    p = jnp.exp2(s - lse2.transpose(0, 2, 1)[..., None])     # (B,H,Sq,Skv)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, do)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", do, vr)
+    ds = p * (dp - delta[..., None])
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, kr) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q) * scale
+    return dq, dk, dv
+
+
+def _hop_bwd_pallas(q, kr, vr, do, lse2, delta, out, scale):
+    """Pallas fused flash backward per hop (ops/attention._flash_bwd_pallas
+    — kv-major grid, never materializes the score block). `out`/`do` are
+    the GLOBAL output/cotangent; delta is recomputed inside (cheap)."""
+    from landiff_tpu.ops import attention as attn_lib
+
+    dq, dk, dv = attn_lib._flash_bwd_pallas(
+        q, kr, vr, out, lse2.transpose(0, 2, 1), do, None, scale)
+    return (dq.astype(jnp.float32), dk.astype(jnp.float32),
+            dv.astype(jnp.float32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def ring_attention_diff(q, k, v, axis: str, scale, impl):
+    out, _ = _ring_fwd(q, k, v, axis, scale, impl)
     return out.astype(q.dtype)
+
+
+def _ring_diff_fwd(q, k, v, axis, scale, impl):
+    out, lse2 = _ring_fwd(q, k, v, axis, scale, impl)
+    outq = out.astype(q.dtype)
+    return outq, (q, k, v, outq, lse2)
+
+
+def _ring_diff_bwd(axis, scale, impl, res, do):
+    q, k, v, out, lse2 = res
+    n = jax.lax.axis_size(axis)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    hop = _hop_bwd_pallas if impl == "pallas" else _hop_bwd_dense
+    q32 = q.astype(jnp.float32)
+    do32 = do.astype(jnp.float32)
+    delta = jnp.sum(do32 * out.astype(jnp.float32),
+                    axis=-1).transpose(0, 2, 1)               # (B, H, Sq)
+    dq0 = jnp.zeros(q.shape, jnp.float32)
+    dkv0 = jnp.zeros(k.shape, jnp.float32)
+
+    def body(carry, _):
+        dq, kr, vr, dkr, dvr = carry
+        if impl == "pallas":
+            dq_i, dk_i, dv_i = hop(q, kr, vr, do, lse2, delta, out, scale)
+        else:
+            dq_i, dk_i, dv_i = hop(q32, kr.astype(jnp.float32),
+                                   vr.astype(jnp.float32), do32, lse2,
+                                   delta, out, scale)
+        dq = dq + dq_i
+        dkr = dkr + dk_i
+        dvr = dvr + dv_i
+        # rotate grads WITH their k/v so after n hops every block's
+        # accumulated gradient lands back on its home shard
+        kr, vr, dkr, dvr = (jax.lax.ppermute(x, axis, perm)
+                            for x in (kr, vr, dkr, dvr))
+        return (dq, kr, vr, dkr, dvr), None
+
+    (dq, _, _, dk, dv), _ = jax.lax.scan(
+        body, (dq0, k, v, dkv0, dkv0), None, length=n)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+ring_attention_diff.defvjp(_ring_diff_fwd, _ring_diff_bwd)
+
+
+def ring_attention_local(q, k, v, axis: str, *, scale=None, impl="xla"):
+    """Per-shard ring attention body (use under shard_map with q/k/v
+    sharded on `axis` along S). Returns the local output shard, q.dtype.
+    Differentiable for BOTH impls (ring_attention_diff custom_vjp).
+
+    impl: 'xla' (dense einsum per hop — fine for small local blocks /
+    CPU-mesh tests) or 'pallas' (the flash kernel per hop, lse-merged in
+    its log2 domain; backward = the fused Pallas flash backward per hop —
+    the TPU path: a dense (B, H, Sq_loc, Skv_loc) f32 score block at
+    production shapes would not fit HBM comfortably)."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    return ring_attention_diff(q, k, v, axis, scale, impl)
 
 
 def ring_attention(q, k, v, mesh, *, axis: str = "time", scale=None):
