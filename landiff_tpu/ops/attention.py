@@ -268,8 +268,8 @@ def _flash_kernel_cached_i8(count_ref,   # SMEM (nq,) int32
                             k_hbm,       # ANY (BH, D, S_kv) int8
                             ks_hbm,      # ANY (BH, 1, S_kv) f32 k scales
                             v_hbm,       # ANY (BH, D, S_kv); int8 if int8_pv
-                            *rest,       # [vs_ref] o_ref k_cache ks_cache
-                                         # v_cache sem
+                            *rest,       # [vs_ref] o_ref lse_ref k_cache
+                                         # ks_cache v_cache sem
                             mask_fn, scale, block_q, block_kv,
                             exp_bf16=False, int8_pv=False):
     """int8-scores variant of the K/V-resident kernel: the q @ k^T
@@ -288,9 +288,9 @@ def _flash_kernel_cached_i8(count_ref,   # SMEM (nq,) int32
     (1, nk8, 8) f32) that is constant within a tile contraction and
     therefore factors out exactly: sum_k p*v = (p8 @ v8) * sv_j / 127."""
     if int8_pv:
-        vs_ref, o_ref, k_cache, ks_cache, v_cache, sem = rest
+        vs_ref, o_ref, lse_ref, k_cache, ks_cache, v_cache, sem = rest
     else:
-        o_ref, k_cache, ks_cache, v_cache, sem = rest
+        o_ref, lse_ref, k_cache, ks_cache, v_cache, sem = rest
     bh = pl.program_id(0)
     qi = pl.program_id(1)
     nkb = count_ref[qi]
@@ -358,6 +358,10 @@ def _flash_kernel_cached_i8(count_ref,   # SMEM (nq,) int32
     m, l, acc = jax.lax.fori_loop(0, nkb, body, (m0, l0, a0))
     out = acc / jnp.maximum(l, 1e-30)
     o_ref[0] = out.astype(o_ref.dtype)
+    # approximate (int8-score) lse in the same log2 convention as the
+    # exact kernels — consistent with THIS kernel's own out, which is all
+    # the ring merge needs (parallel/ring_attention.py int8 hops)
+    _write_lse(lse_ref, m, l)
 
 
 def _pad_to(x, length, axis):
@@ -398,8 +402,10 @@ def _flash_call(q, k, v, count, order, kind, k_scales=None, v_scales=None,
             num_scalar_prefetch=3,
             grid=(BH, nq),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, block_q, D),
-                                   lambda bh, qi, *_: (bh, qi, 0)),
+            out_specs=[
+                pl.BlockSpec((1, block_q, D), lambda bh, qi, *_: (bh, qi, 0)),
+                pl.BlockSpec((1, block_q, 8), lambda bh, qi, *_: (bh, qi, 0)),
+            ],
             scratch_shapes=[
                 pltpu.VMEM((D, Skv), jnp.int8),
                 pltpu.VMEM((1, Skv), jnp.float32),
@@ -407,13 +413,14 @@ def _flash_call(q, k, v, count, order, kind, k_scales=None, v_scales=None,
                 pltpu.SemaphoreType.DMA((3,)),
             ],
         )
-        return pl.pallas_call(
+        out, lse = pl.pallas_call(
             functools.partial(_flash_kernel_cached_i8, mask_fn=mask_fn,
                               scale=scale, block_q=block_q,
                               block_kv=block_kv, exp_bf16=exp_bf16,
                               int8_pv=int8_pv),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype),
+                       jax.ShapeDtypeStruct((BH, Sq, 8), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary")),
             cost_estimate=pl.CostEstimate(
@@ -421,7 +428,8 @@ def _flash_call(q, k, v, count, order, kind, k_scales=None, v_scales=None,
                 bytes_accessed=BH * (4 * Sq * D + Skv * (3 * D + 4)),
                 transcendentals=BH * Sq * Skv),
             interpret=interpret,
-        )(*operands), None
+        )(*operands)
+        return out, lse
     if cached:
         scratch = [
             pltpu.VMEM((D, Skv), q.dtype),
@@ -491,8 +499,12 @@ def flash_attention(q, k, v, *, mask_fn=None, scale=None,
         partial tiles.
       scale: softmax scale; default 1/sqrt(D).
       return_lse: also return the per-row log2-domain logsumexp
-        (B, H, S) f32 — consumed by the Pallas flash backward. Forces the
-        exact-f32 kernels (int8 scores unavailable with lse).
+        (B, H, S) f32 — consumed by the Pallas flash backward and the
+        ring-attention hop merge. Available from the int8-scores kernel
+        too (its lse is approximate like its out — self-consistent, which
+        is what the ring merge needs); the DIFFERENTIABLE path pins
+        int8_scores=False itself (_flash_diff_fwd), so training stays
+        exact.
     Returns: (B, S, H, D) q.dtype; with return_lse a tuple (out, lse).
     """
     B, Sq, H, D = q.shape
@@ -547,8 +559,6 @@ def flash_attention(q, k, v, *, mask_fn=None, scale=None,
         exp_bf16 = os.environ.get("LANDIFF_ATTN_EXP_BF16") == "1"
     if int8_pv is None:
         int8_pv = os.environ.get("LANDIFF_ATTN_INT8_PV") == "1"
-    if return_lse:
-        int8_scores = False
     cache_bytes = 2 * D * Skv_p * q.dtype.itemsize
     cached = (cache_bytes <= _KV_CACHE_VMEM_BUDGET and nq > 1
               and os.environ.get("LANDIFF_ATTN_CACHED", "1") != "0")
@@ -572,13 +582,15 @@ def flash_attention(q, k, v, *, mask_fn=None, scale=None,
             nk8 = masks_lib.round_up(nk_, 8)
             svp = jnp.pad(sv, ((0, 0), (0, nk8 - nk_)))
             vs = jnp.broadcast_to(svp[:, :, None], (B * H, nk8, 8)) + 0.0
-        out, _ = _flash_call(qt, k8, v_in, jnp.asarray(count),
-                             jnp.asarray(order), jnp.asarray(kind), sk, vs,
-                             mask_fn=kern_fn, scale=scale, block_q=block_q,
-                             block_kv=block_kv, interpret=interpret,
-                             int8_scores=True, exp_bf16=exp_bf16,
-                             int8_pv=int8_pv)
+        out, lse = _flash_call(qt, k8, v_in, jnp.asarray(count),
+                               jnp.asarray(order), jnp.asarray(kind), sk, vs,
+                               mask_fn=kern_fn, scale=scale, block_q=block_q,
+                               block_kv=block_kv, interpret=interpret,
+                               int8_scores=True, exp_bf16=exp_bf16,
+                               int8_pv=int8_pv)
         out = out[:, :Sq].reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
+        if return_lse:
+            return out, lse[:, :Sq, 0].reshape(B, H, Sq)
         return out
 
     out, lse = _flash_call(qt, kt, vt, jnp.asarray(count), jnp.asarray(order),

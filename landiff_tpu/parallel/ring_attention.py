@@ -56,24 +56,29 @@ def _merge(o1, lse1, o2, lse2, exp=jnp.exp, log=jnp.log):
     return out, m + log(denom)
 
 
-def _local_attn_flash(q, k, v, scale):
+def _local_attn_flash(q, k, v, scale, int8_scores=False, int8_pv=False):
     """Pallas-kernel local attention for the ring hops: the fused flash
-    forward with its log2-domain logsumexp ((B, H, Sq) -> (B, Sq, H));
-    return_lse pins the exact-f32 score path (ops/attention.py)."""
+    forward with its log2-domain logsumexp ((B, H, Sq) -> (B, Sq, H)).
+    int8_scores/int8_pv select the quantized kernel — its lse is
+    approximate like its out (self-consistent, which is what the merge
+    needs); the DIFFERENTIATED ring pins these False (_ring_diff_fwd)."""
     from landiff_tpu.ops import attention as attn_lib
 
     out, lse = attn_lib.flash_attention(q, k, v, scale=scale,
-                                        return_lse=True)
+                                        int8_scores=int8_scores,
+                                        int8_pv=int8_pv, return_lse=True)
     return out.astype(jnp.float32), lse.transpose(0, 2, 1)
 
 
-def _ring_fwd(q, k, v, axis: str, scale, impl):
+def _ring_fwd(q, k, v, axis: str, scale, impl, int8_scores=False,
+              int8_pv=False):
     """Ring forward. Returns (out f32 (B,Sq,H,D), lse (B,Sq,H) LOG2)."""
     n = jax.lax.axis_size(axis)
     perm = [(i, (i + 1) % n) for i in range(n)]
     if impl == "pallas":
-        local, merge = _local_attn_flash, functools.partial(
-            _merge, exp=jnp.exp2, log=jnp.log2)
+        local = functools.partial(_local_attn_flash,
+                                  int8_scores=int8_scores, int8_pv=int8_pv)
+        merge = functools.partial(_merge, exp=jnp.exp2, log=jnp.log2)
     else:
         local, merge = _local_attn, _merge
     out, lse = local(q, k, v, scale)
@@ -121,11 +126,22 @@ def _hop_bwd_pallas(q, kr, vr, do, lse2, delta, out, scale):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def ring_attention_diff(q, k, v, axis: str, scale, impl):
-    out, _ = _ring_fwd(q, k, v, axis, scale, impl)
+    # PRIMAL (inference) path: int8-scores hops follow the same default
+    # as the single-chip dispatcher (ops/attention.attention — ON on the
+    # pallas path, opt-out LANDIFF_ATTN_INT8=0, int8 p@v opt-in)
+    import os
+
+    int8 = (impl == "pallas"
+            and os.environ.get("LANDIFF_ATTN_INT8", "1") == "1")
+    int8_pv = int8 and os.environ.get("LANDIFF_ATTN_INT8_PV") == "1"
+    out, _ = _ring_fwd(q, k, v, axis, scale, impl, int8, int8_pv)
     return out.astype(q.dtype)
 
 
 def _ring_diff_fwd(q, k, v, axis, scale, impl):
+    # DIFFERENTIATED path: exact f32 hops regardless of env knobs — the
+    # ring backward recomputes exact p from the saved lse (same rule as
+    # ops/attention._flash_diff_fwd)
     out, lse2 = _ring_fwd(q, k, v, axis, scale, impl)
     outq = out.astype(q.dtype)
     return outq, (q, k, v, outq, lse2)

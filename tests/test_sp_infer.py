@@ -205,3 +205,38 @@ def test_ring_attention_gradient_parity(impl):
     for name, a, b in zip("qkv", want, got):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_ring_int8_hop_merge_self_consistent():
+    """int8-scores hops now return their own (approximate) lse: merging
+    two int8 chunk calls must equal ONE int8 call over the full kv (the
+    quantization error is per-chunk-identical), and stay correlated with
+    the exact output."""
+    from landiff_tpu.ops import attention as attn_lib
+    from landiff_tpu.parallel import ring_attention as ring
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    B, S, H, D = 1, 256, 2, 16
+    q = jax.random.normal(ks[0], (B, S, H, D), jnp.float32)
+    kf = jax.random.normal(ks[1], (B, S, H, D), jnp.float32)
+    vf = jax.random.normal(ks[2], (B, S, H, D), jnp.float32)
+    half = S // 2
+    sc = 1.0 / np.sqrt(D)
+    o1, l1 = ring._local_attn_flash(q, kf[:, :half], vf[:, :half], sc,
+                                    int8_scores=True)
+    o2, l2 = ring._local_attn_flash(q, kf[:, half:], vf[:, half:], sc,
+                                    int8_scores=True)
+    merged, _ = ring._merge(o1, l1, o2, l2, exp=jnp.exp2, log=jnp.log2)
+    # NOTE K quantizes per kv-position (scales independent of chunking),
+    # q per row inside the kernel (identical every chunk) -> chunked and
+    # full int8 runs quantize identically, so the merge must reproduce
+    # the one-shot int8 result up to merge arithmetic
+    full_i8 = attn_lib.flash_attention(q, kf, vf, scale=sc,
+                                       int8_scores=True)
+    np.testing.assert_allclose(np.asarray(merged),
+                               np.asarray(full_i8.astype(jnp.float32)),
+                               rtol=2e-4, atol=2e-4)
+    exact = attn_lib.mha_reference(q, kf, vf)
+    corr = np.corrcoef(np.asarray(merged).ravel(),
+                       np.asarray(exact).ravel())[0, 1]
+    assert corr > 0.999, corr
