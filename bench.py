@@ -254,6 +254,22 @@ def bench_mesh():
                                rtol=2e-4, atol=2e-4)
     counts = tp_infer.count_hlo_collectives(tfn, x, sd, tb)
 
+    # ---- sequence-parallel variant (the `--mesh data=2,time=4` serving
+    # program: ring attention, replicated weights): numerics + collective
+    # shape. No SP headline projection — its ring traffic overlaps hop
+    # compute, so an honest number needs a measured per-hop kernel time
+    # (multi-chip hardware unavailable here). ----
+    smesh = mesh_lib.make_mesh(MeshConfig(data=2, model=1, time=4),
+                               devices[:8])
+    sfn, sb = tp_infer.make_tp_denoise_fn(
+        params, smesh, cfg.dit, cfg.sampler, cfg.tokenizer,
+        cfg.semantic_cond, ctx, uc, tokens, compute_dtype=jnp.float32,
+        attn_impl="xla")
+    got_sp = jax.jit(sfn)(x, sd, sb)
+    np.testing.assert_allclose(np.asarray(got_sp), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    counts_sp = tp_infer.count_hlo_collectives(sfn, x, sd, sb)
+
     # ---- projection (full-size shapes, the counted collectives) ----
     full = DiTConfig()
     # r3 defaults, all MEASURED on 1x v5e (int8-scores inference default):
@@ -308,6 +324,9 @@ def bench_mesh():
                   "attention_scaling": attn_src},
         "sharded_numerics": "ok (tp_infer shard_map program, 30->32 padded "
                             "heads, 8-way virtual CPU mesh, rtol 2e-4)",
+        "sp_numerics": "ok (sequence-parallel data=2,time=4 ring-attention "
+                       "program, same rtol)",
+        "sp_hlo_collectives_tiny_program": counts_sp,
     }))
 
 

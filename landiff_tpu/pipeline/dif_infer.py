@@ -69,6 +69,17 @@ class CogModelInferWrapper:
             self.params = dict(params)
             for k in ("main", "control"):
                 self.params[k] = dit_lib.quantize_int8(params[k])
+        if mesh is not None and mesh.shape.get("model", 1) > 1 \
+                and "t5" in self.params:
+            # TP-shard the T5 encoder over `model` (mesh.T5_RULES): the
+            # 4.7B-param T5-XXL replicated would otherwise be the largest
+            # per-chip HBM consumer in a multi-chip serving deployment
+            # (9.4 GB bf16 vs 16 GB/chip on v5e)
+            from landiff_tpu.parallel import mesh as mesh_lib
+
+            self.params = dict(self.params)
+            self.params["t5"] = mesh_lib.shard_params(
+                self.params["t5"], mesh, mesh_lib.T5_RULES)
         if max_steps_per_call is None:
             env = os.environ.get("LANDIFF_MAX_STEPS_PER_CALL")
             max_steps_per_call = int(env) if env else None

@@ -71,6 +71,10 @@ class ArModelInferWrapper:
             params = dict(params)
             params["lm"] = mesh_lib.shard_params(params["lm"], mesh,
                                                  mesh_lib.GPT_RULES)
+            # stage-1 prompt T5 likewise (T5-XXL replicated is the
+            # largest HBM consumer on a multi-chip serving fleet)
+            params["t5"] = mesh_lib.shard_params(params["t5"], mesh,
+                                                 mesh_lib.T5_RULES)
         self.params = params
         self.mesh = mesh
         self.llm_cfg = llm_cfg
