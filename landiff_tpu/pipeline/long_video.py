@@ -111,14 +111,25 @@ def generate_long_video(params, cfg: LanDiffConfig, context, uc_context,
                         codes, *, key, prefix_latents: int = 7,
                         sdedit: bool = False, compute_dtype=jnp.bfloat16,
                         attn_impl="auto",
-                        max_steps_per_call: int | None = None):
+                        max_steps_per_call: int | None = None, mesh=None):
     """Full long-video path: chunked latents -> one streaming VAE decode ->
-    (1, 3, T_rgb, H, W) in [0, 1]."""
+    (1, 3, T_rgb, H, W) in [0, 1]. mesh: optional Mesh — per-segment
+    denoising runs the TP/SP shard_map program and the VAE decode goes
+    temporal-CP when the frame count halo-splits."""
     latents = generate_long_video_latents(
         params, cfg, context, uc_context, codes, key=key,
         prefix_latents=prefix_latents, sdedit=sdedit,
         compute_dtype=compute_dtype, attn_impl=attn_impl,
-        max_steps_per_call=max_steps_per_call)
+        max_steps_per_call=max_steps_per_call, mesh=mesh)
+    n_time = mesh.shape.get("time", 1) if mesh is not None else 1
+    if n_time > 1:
+        from landiff_tpu.parallel import vae_cp
+
+        if vae_cp.can_decode_cp(latents.shape[1], n_time):
+            video = engine.decode_first_stage_cp(
+                params["vae"], latents, cfg.vae, mesh,
+                compute_dtype=compute_dtype)
+            return engine.post_process_video(video), latents
     video = engine.decode_first_stage(params["vae"], latents, cfg.vae,
                                       compute_dtype=compute_dtype)
     return engine.post_process_video(video), latents

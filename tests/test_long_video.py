@@ -142,3 +142,29 @@ def test_long_video_sp_mesh_matches_single():
         params, CFG, ctx, jnp.zeros_like(ctx), codes, mesh=mesh, **kw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_long_video_full_wrapper_sp_mesh():
+    """generate_long_video(mesh=...): SP denoise + (CP or fallback) VAE
+    decode must reproduce the single-device video."""
+    from landiff_tpu.config import MeshConfig
+    from landiff_tpu.parallel import mesh as mesh_lib
+
+    key = jax.random.PRNGKey(0)
+    params = dif_infer.init_params(key, CFG)
+    t = CFG.tokenizer.titok
+    codes = np.random.default_rng(5).integers(
+        0, CFG.tokenizer.vq.codebook_size, size=2 * t.latent_tokens)
+    ctx = jnp.zeros((1, CFG.dit.text_length, CFG.dit.text_dim))
+    kw = dict(key=jax.random.PRNGKey(6), prefix_latents=1,
+              compute_dtype=jnp.float32, attn_impl="xla")
+    want_v, want_l = long_video.generate_long_video(
+        params, CFG, ctx, jnp.zeros_like(ctx), codes, **kw)
+    mesh = mesh_lib.make_mesh(MeshConfig(data=2, model=1, time=4),
+                              jax.devices()[:8])
+    got_v, got_l = long_video.generate_long_video(
+        params, CFG, ctx, jnp.zeros_like(ctx), codes, mesh=mesh, **kw)
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=5e-4, atol=5e-4)

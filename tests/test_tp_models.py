@@ -162,3 +162,22 @@ def test_stage1_wrapper_mesh_matches_single():
         int8_decode=False, mesh=mesh)
     got = meshed(task).result
     np.testing.assert_array_equal(got, want)
+
+
+def test_hbm_plan():
+    """Placement planner (parallel/plan.py): sharded components must
+    shrink per chip under model>1, replicated ones must not, and the
+    accounting must be internally consistent."""
+    from landiff_tpu.parallel import plan as plan_lib
+
+    p1 = plan_lib.plan(MeshConfig(data=1, model=1), CFG)
+    p4 = plan_lib.plan(MeshConfig(data=2, model=4), CFG)
+    c1, c4 = p1["components"], p4["components"]
+    for name in ("dit_main", "dit_control", "t5", "lm"):
+        assert c4[name]["per_chip_bytes"] < c1[name]["per_chip_bytes"], name
+        assert c4[name]["per_chip_bytes"] >= \
+            c4[name]["total_bytes"] // 8, name
+    for name in ("semantic_cond", "vae"):
+        assert c4[name]["per_chip_bytes"] == c4[name]["total_bytes"], name
+    assert p4["per_chip_total_bytes"] == sum(
+        v["per_chip_bytes"] for v in c4.values())
