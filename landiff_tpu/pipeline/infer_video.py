@@ -119,9 +119,18 @@ def run(prompt: str, output_dir: str = "results", seed: int = 42,
         if os.environ.get("LANDIFF_OFFLOAD") == "1":
             jax.block_until_ready(latents)
             dif.offload_diffusion_params()
-        video = _engine.decode_first_stage(dif.params["vae"], latents,
-                                           cfg.vae,
-                                           compute_dtype=dif.compute_dtype)
+        from landiff_tpu.parallel import vae_cp
+
+        n_time = dif.mesh.shape.get("time", 1) if dif.mesh is not None \
+            else 1
+        if n_time > 1 and vae_cp.can_decode_cp(latents.shape[1], n_time):
+            video = _engine.decode_first_stage_cp(
+                dif.params["vae"], latents, cfg.vae, dif.mesh,
+                compute_dtype=dif.compute_dtype)
+        else:
+            video = _engine.decode_first_stage(
+                dif.params["vae"], latents, cfg.vae,
+                compute_dtype=dif.compute_dtype)
         video = _engine.post_process_video(video)
         vid8 = np.asarray(_engine.video_to_uint8(video))
         video_task = dif_infer.VideoTask(
