@@ -37,9 +37,9 @@ A100_REF_STEP_MS = 3300.0
 # tunnel outage degrades the artifact instead of hanging the run.
 _LAST_MEASURED = {
     "metric": "dit_cfg_denoise_step_ms_estbase",
-    "value": 4394.0,
+    "value": 4441.0,
     "unit": "ms",
-    "vs_baseline": round(A100_REF_STEP_MS / 4394.0, 3),
+    "vs_baseline": round(A100_REF_STEP_MS / 4441.0, 3),
     "baseline_kind": "estimate_a100_35pct_mfu",
     "stale": "remote TPU backend unreachable at bench time (worker crash; "
              "backend init hangs); value is this round's earlier hardware "
@@ -276,9 +276,7 @@ def bench_mesh():
 
     # ---- sequence-parallel variant (the `--mesh data=2,time=4` serving
     # program: ring attention, replicated weights): numerics + collective
-    # shape. No SP headline projection — its ring traffic overlaps hop
-    # compute, so an honest number needs a measured per-hop kernel time
-    # (multi-chip hardware unavailable here). ----
+    # shape; projection below from the MEASURED per-hop kernel time. ----
     smesh = mesh_lib.make_mesh(MeshConfig(data=2, model=1, time=4),
                                devices[:8])
     sfn, sb = tp_infer.make_tp_denoise_fn(
@@ -293,18 +291,19 @@ def bench_mesh():
     # ---- projection (full-size shapes, the counted collectives) ----
     full = DiTConfig()
     # r3 defaults, all MEASURED on 1x v5e (int8-scores inference default):
-    #   single_ms 4394 = the full single-chip CFG step (BENCH r3)
-    #   single_attn_ms 3547 = r2 attention probe 3780 minus the int8 step
-    #     saving (4627-4394), i.e. the int8 attention share of the step
+    #   single_ms 4441 = the full single-chip CFG step (BENCH r3 re-run;
+    #     earlier same-round measurement 4394 — ~1% tunnel variance)
+    #   single_attn_ms 3594 = r2 attention probe 3780 minus the int8 step
+    #     saving (4627-4441), i.e. the int8 attention share of the step
     #   tp_attn_ms 11.69 = int8 kernel at the TP=4 per-chip shard shape
     #     (B=1, H=8 padded, S=17776), depth-16 chained so the ~35 ms
     #     tunnel dispatch is amortized off the per-call time — 55 TFLOP/s,
     #     ~90% of ideal 1/8-scaling (benchmarks/bench_attention.py 17776
     #     3 1 8 with LANDIFF_ATTN_INT8=1)
-    single_ms = float(os.environ.get("LANDIFF_BENCH_SINGLE_MS", "4394.0"))
+    single_ms = float(os.environ.get("LANDIFF_BENCH_SINGLE_MS", "4441.0"))
     tp_attn_ms = os.environ.get("LANDIFF_BENCH_TP_ATTN_MS", "11.69")
     single_attn_ms = float(os.environ.get("LANDIFF_BENCH_SINGLE_ATTN_MS",
-                                          "3547.0"))
+                                          "3594.0"))
     n_chips, tp = 8, 4
     S = full.text_length + full.latent_frames \
         * (full.latent_height // full.patch_size) \
@@ -330,6 +329,21 @@ def bench_mesh():
     else:
         projected = single_ms / n_chips + coll_ms
         attn_src = "ideal_1_over_8"
+
+    # ---- SP projection (the data=2,time=4 serving program) from the
+    # MEASURED per-hop kernel time: each of the 45 layers runs
+    # n_hops=time ring hops; hop k/v ppermute (2 x H*D*S/time bf16)
+    # overlaps hop compute on the other ICI direction, so the serialized
+    # cost is max(compute, wire) per hop; non-attention work token-shards
+    # over time and batch-shards over data (=/8 like TP).
+    #   sp_hop_ms 4.8 = int8-default kernel at (B=1, H=30, S=4444)
+    #     (benchmarks/bench_attention.py 4444 3 1 30, depth-16 chained)
+    sp_hop_ms = float(os.environ.get("LANDIFF_BENCH_SP_HOP_MS", "4.8"))
+    n_hops = 4
+    hop_bytes = 2 * full.num_heads * 64 * (S // n_hops) * 2  # k+v bf16
+    wire_ms = hop_bytes / 45e9 * 1e3    # one-direction ICI ~45 GB/s
+    sp_attn_ms = layers * n_hops * max(sp_hop_ms, wire_ms)
+    sp_projected = (single_ms - single_attn_ms) / n_chips + sp_attn_ms
     print(json.dumps({
         "metric": "dit_cfg_denoise_step_ms_projected_v5e8_estbase",
         "value": round(projected, 1),
@@ -347,6 +361,15 @@ def bench_mesh():
         "sp_numerics": "ok (sequence-parallel data=2,time=4 ring-attention "
                        "program, same rtol)",
         "sp_hlo_collectives_tiny_program": counts_sp,
+        "sp_projection": {
+            "projected_ms": round(sp_projected, 1),
+            "mesh": "data=2 time=4",
+            "hop_ms_measured": sp_hop_ms,
+            "hop_wire_ms": round(wire_ms, 2),
+            "note": "slower than TP at 8 chips (hop kernels lose MXU "
+                    "efficiency at S/4) — SP's value is scaling past "
+                    "the 30-head TP cap, not 8-chip latency",
+        },
     }))
 
 
