@@ -33,6 +33,14 @@ def main():
     from landiff_tpu.pipeline import long_video
 
     cfg = LanDiffConfig()
+    # LANDIFF_LV_STEPS (default 50): reduced-step runs isolate per-segment
+    # overheads (assembly/recompile/fetch) from the step compute
+    lv_steps = int(os.environ.get("LANDIFF_LV_STEPS", "0"))
+    if lv_steps:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, sampler=dataclasses.replace(
+            cfg.sampler, num_steps=lv_steps))
     dt = jnp.bfloat16
     n_seg = int(os.environ.get("LANDIFF_LV_SEGMENTS", "2"))
     n_warm = int(os.environ.get("LANDIFF_LV_WARM_SEGMENTS", str(n_seg)))

@@ -86,21 +86,29 @@ def generate_long_video_latents(params, cfg: LanDiffConfig, context,
                     bundle, params["semantic"], tokens, cfg.dit,
                     cfg.tokenizer, cfg.semantic_cond,
                     compute_dtype=compute_dtype)
+        # accumulate on HOST: device-side concat/slice at a growing total
+        # length would compile a fresh (tiny) program per unique length —
+        # ~11 s each through the remote compile helper, measured as +5% on
+        # new-length segments of the 8-segment hardware run — and would
+        # keep the whole growing latent resident in HBM. The per-segment
+        # fetch is only ~3 MB (13x16x60x90 bf16); the prefix fed back is
+        # 7 latents. Segment shapes stay FIXED so both jitted segment
+        # programs are compiled exactly once.
         if all_latents is None:
             latents = engine.sample_latents(
                 denoise_fn, cfg.sampler, cfg.dit, key=k_seg, bundle=bundle,
                 max_steps_per_call=max_steps_per_call)
-            all_latents = latents
+            all_latents = np.asarray(latents)
         else:
-            prefix = all_latents[:, -prefix_latents:]
+            prefix = jnp.asarray(all_latents[:, -prefix_latents:])
             latents = engine.sample_latents(
                 denoise_fn, cfg.sampler, cfg.dit, key=k_seg, bundle=bundle,
                 prefix=prefix, sdedit=sdedit,
                 max_steps_per_call=max_steps_per_call)
-            all_latents = jnp.concatenate(
-                [all_latents, latents[:, prefix_latents:]], axis=1)
+            all_latents = np.concatenate(
+                [all_latents, np.asarray(latents[:, prefix_latents:])],
+                axis=1)
         if on_segment is not None:
-            jax.block_until_ready(all_latents)
             on_segment(seg, all_latents)
         logger.info("segment %d/%d: latents %s", seg + 1, n_seg,
                     all_latents.shape)
