@@ -131,19 +131,28 @@ def load_stage2(ckpt_dir: str | Path, cfg: LanDiffConfig,
     semantic = convert.convert_semantic_cond(
         parts["semantic"], cfg.semantic_cond.num_res_blocks)
 
-    vae_sd = convert.load_torch_file(
-        ckpt_dir / "CogVideoX-2b-sat" / "vae" / "3d-vae.pt")
-    vae = convert.convert_vae(vae_sd, cfg.vae.num_res_blocks,
-                              len(cfg.vae.ch_mult))
-
-    t5_sd = load_hf_sharded_safetensors(
-        ckpt_dir / "CogVideoX-2b-sat" / "t5-v1_1-xxl")
-    t5 = t5_lib.params_from_hf_state_dict(t5_sd, cfg.t5, dtype)
-
     return {
         "main": _to_jnp(main, dtype),
         "control": _to_jnp(control, dtype),
         "semantic": _to_jnp(semantic, dtype),
-        "vae": _to_jnp(vae, dtype),
-        "t5": t5,
+        "vae": load_vae(ckpt_dir, cfg, dtype),
+        "t5": load_stage2_t5(ckpt_dir, cfg, dtype),
     }
+
+
+def load_vae(ckpt_dir: str | Path, cfg: LanDiffConfig, dtype=jnp.float32):
+    """3d-vae.pt alone (Lightning state_dict; autoencoder.py:603-614)."""
+    vae_sd = convert.load_torch_file(
+        Path(ckpt_dir) / "CogVideoX-2b-sat" / "vae" / "3d-vae.pt")
+    return _to_jnp(convert.convert_vae(vae_sd, cfg.vae.num_res_blocks,
+                                       len(cfg.vae.ch_mult)), dtype)
+
+
+def load_stage2_t5(ckpt_dir: str | Path, cfg: LanDiffConfig,
+                   dtype=jnp.float32):
+    """Stage-2 local T5 dir (FrozenT5Embedder, encoders/modules.py:246-295)."""
+    from landiff_tpu.models import t5 as t5_lib
+
+    t5_sd = load_hf_sharded_safetensors(
+        Path(ckpt_dir) / "CogVideoX-2b-sat" / "t5-v1_1-xxl")
+    return t5_lib.params_from_hf_state_dict(t5_sd, cfg.t5, dtype)

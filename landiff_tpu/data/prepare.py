@@ -73,17 +73,25 @@ def segment(video: np.ndarray, seg_len: int, stride: int):
 
 def prepare(clips_dir: str, out_dir: str, *, model: str = "vq",
             tiny: bool = False, shard_size: int = 8,
-            compute_dtype=jnp.bfloat16):
+            compute_dtype=jnp.bfloat16, ckpt_dir: str | None = None):
     from landiff_tpu.config import LanDiffConfig, tiny_test_config
     from landiff_tpu.data.loader import write_npz_shards
     from landiff_tpu.models import vq as vq_lib
 
     full_cfg = tiny_test_config() if tiny else LanDiffConfig()
     cfg = full_cfg.tokenizer
-    params = vq_lib.init(jax.random.PRNGKey(0), cfg, dtype=compute_dtype)
-    # TODO(weights): swap in converted real tokenizer params via ckpt/load
-    # when a checkpoint tree is available; random-init here still exercises
-    # the full production path for smoke/scale testing.
+    if ckpt_dir is not None:
+        # real/converted weights (tokenizer/model.safetensors + Theia from
+        # the HF cache — ckpt/load.py); exercised end-to-end against the
+        # production-shape synthetic ckpt tree in tests/test_prepare_data.py
+        from landiff_tpu.ckpt import load as ckpt_load
+
+        params = ckpt_load.load_tokenizer(ckpt_dir, full_cfg,
+                                          dtype=compute_dtype)
+    else:
+        # random init still exercises the full production path
+        # (Theia -> TiTok -> VQ) for smoke/scale testing without weights
+        params = vq_lib.init(jax.random.PRNGKey(0), cfg, dtype=compute_dtype)
 
     feats_fn = jax.jit(lambda v: vq_lib.extract_features(
         params, v, cfg, compute_dtype=compute_dtype))
@@ -96,10 +104,18 @@ def prepare(clips_dir: str, out_dir: str, *, model: str = "vq",
         from landiff_tpu.models import vae as vae_lib
         from landiff_tpu.pipeline.text import T5Text
 
-        vae_p = vae_lib.init(jax.random.PRNGKey(1), full_cfg.vae,
-                             dtype=compute_dtype)
-        t5_p = t5_lib.init(jax.random.PRNGKey(2), full_cfg.t5,
-                           dtype=compute_dtype)
+        if ckpt_dir is not None:
+            from landiff_tpu.ckpt import load as ckpt_load
+
+            vae_p = ckpt_load.load_vae(ckpt_dir, full_cfg,
+                                       dtype=compute_dtype)
+            t5_p = ckpt_load.load_stage2_t5(ckpt_dir, full_cfg,
+                                            dtype=compute_dtype)
+        else:
+            vae_p = vae_lib.init(jax.random.PRNGKey(1), full_cfg.vae,
+                                 dtype=compute_dtype)
+            t5_p = t5_lib.init(jax.random.PRNGKey(2), full_cfg.t5,
+                               dtype=compute_dtype)
         text = T5Text(full_cfg.t5.model_name or None,
                       max_length=full_cfg.dit.text_length,
                       padding_side="right")
@@ -184,9 +200,11 @@ def main(argv=None):
     ap.add_argument("--model", choices=("vq", "lm", "dit"), default="vq")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--shard-size", type=int, default=8)
+    ap.add_argument("--ckpt-dir", default=None,
+                    help="LanDiff checkpoint tree; omitted = random init")
     args = ap.parse_args(argv)
     prepare(args.clips, args.out, model=args.model, tiny=args.tiny,
-            shard_size=args.shard_size)
+            shard_size=args.shard_size, ckpt_dir=args.ckpt_dir)
 
 
 if __name__ == "__main__":

@@ -94,3 +94,34 @@ def test_prepare_dit_feeds_trainer(tmp_path):
                               batch_size=1, mesh_spec="data=1,model=1",
                               log_every=1, tiny=True)
     assert np.isfinite(float(np.asarray(last["loss"])))
+
+
+def test_prepare_with_ckpt_dir_uses_loaded_weights(tmp_path, monkeypatch):
+    """--ckpt-dir routes through ckpt/load (real/converted weights) instead
+    of random init; the loaders themselves are exercised at production
+    shapes in test_prod_ckpt_rehearsal.py — here we pin the wiring."""
+    import jax
+
+    from landiff_tpu.ckpt import load as ckpt_load
+    from landiff_tpu.models import vq as vq_lib
+
+    cfg = tiny_test_config()
+    clips = tmp_path / "clips"
+    _write_clips(clips, cfg)
+
+    calls = {}
+
+    def fake_load_tokenizer(ckpt_dir, full_cfg, dtype=None):
+        calls["tokenizer"] = str(ckpt_dir)
+        return vq_lib.init(jax.random.PRNGKey(7), full_cfg.tokenizer,
+                           dtype=dtype)
+
+    monkeypatch.setattr(ckpt_load, "load_tokenizer", fake_load_tokenizer)
+    shards = prepare.prepare(str(clips), str(tmp_path / "vq_ck"),
+                             model="vq", tiny=True, shard_size=2,
+                             ckpt_dir=str(tmp_path / "fake_ckpts"))
+    assert calls["tokenizer"].endswith("fake_ckpts")
+    assert shards
+    batch = next(ShardedNpzDataset(tmp_path / "vq_ck",
+                                   batch_size=2).iter_epoch(0))
+    assert np.isfinite(batch["features"]).all()
