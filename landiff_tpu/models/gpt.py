@@ -84,14 +84,26 @@ def block_forward(p, x, cos, sin, cfg: LLMConfig, attn_impl="auto"):
     return x + _mlp(p, h)
 
 
-def block_decode(p, x, cos, sin, k_cache, v_cache, pos, cfg: LLMConfig):
+def _bcast_rope(cos, sin):
+    """cos/sin (S, Dk/2) -> (1, S, Dk/2); per-row (B, S, Dk/2) passes
+    through (left-padded batched decode shifts rope positions per row)."""
+    if cos.ndim == 2:
+        return cos[None], sin[None]
+    return cos, sin
+
+
+def block_decode(p, x, cos, sin, k_cache, v_cache, pos, cfg: LLMConfig,
+                 pad=None):
     """Single-token step. x: (B, 1, D); k_cache/v_cache: (B, S_max, H, Dk);
-    pos: scalar index of the current token. Returns (x, k_new, v_new)."""
+    pos: scalar index of the current token; pad: optional (B,) left-pad
+    lengths (batched decode: cache slots < pad[b] are masked out).
+    Returns (x, k_new, v_new)."""
     B, _, D = x.shape
     h = rms_norm(x, p["norm0"], cfg.norm_eps)
     q, k, v = _qkv(p, h, cfg)
-    q = apply_rope(q, cos[None], sin[None])
-    k = apply_rope(k, cos[None], sin[None])
+    cos, sin = _bcast_rope(cos, sin)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
     k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype),
                                            (0, pos, 0, 0))
     v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype),
@@ -101,7 +113,10 @@ def block_decode(p, x, cos, sin, k_cache, v_cache, pos, cfg: LLMConfig):
     scale = 1.0 / math.sqrt(cfg.head_dim)
     s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
                    k_cache.astype(jnp.float32)) * scale
-    valid = (jnp.arange(k_cache.shape[1]) <= pos)[None, None, None, :]
+    ks = jnp.arange(k_cache.shape[1])
+    valid = (ks <= pos)[None, None, None, :]
+    if pad is not None:
+        valid = valid & (ks[None, :] >= pad[:, None])[:, None, None, :]
     s = jnp.where(valid, s, -1e30)
     w = jax.nn.softmax(s, axis=-1)
     attn = jnp.einsum("bhqk,bkhd->bqhd", w.astype(v_cache.dtype), v_cache)
@@ -124,21 +139,36 @@ def forward(params, features, cfg: LLMConfig, cos, sin, *, apply_head=True,
 
 
 def prefill(params, features, cache: KVCache, cfg: LLMConfig, cos, sin,
-            compute_dtype=jnp.bfloat16):
+            compute_dtype=jnp.bfloat16, pad=None):
     """Run the prompt through all blocks, filling cache[:, :, :S].
+
+    pad: optional (B,) left-pad lengths for right-aligned batched prompts
+    (positions < pad[b] are masked out of the causal attention; their K/V
+    lands in the cache but stays masked in every later decode step too).
+    cos/sin may be per-row (B, S, Dk/2) to shift rope positions by pad.
 
     Returns (fp32 logits of the LAST position, updated cache) — matching
     GPT.sample (transformer.py:91-119: fp32 LN + head on last position)."""
     x = features.astype(compute_dtype)
     S = x.shape[1]
+    cos, sin = _bcast_rope(cos, sin)
+    if pad is None:
+        mask = None
+        mask_fn = masks_lib.causal
+    else:
+        qi = jnp.arange(S)[:, None]
+        ki = jnp.arange(S)[None, :]
+        mask = ((qi >= ki)[None]
+                & (ki[None] >= pad[:, None, None]))[:, None]  # (B,1,S,S)
+        mask_fn = None
     ks, vs = [], []
     for p in params["blocks"]:
         # compute per-layer K/V on the full prefix, then attend causally
         h = rms_norm(x, p["norm0"], cfg.norm_eps)
         q, k, v = _qkv(p, h, cfg)
-        q = apply_rope(q, cos[None], sin[None])
-        k = apply_rope(k, cos[None], sin[None])
-        attn = attention(q, k, v, mask_fn=masks_lib.causal, impl="xla")
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        attn = attention(q, k, v, mask_fn=mask_fn, mask=mask, impl="xla")
         attn = _dot(attn.reshape(x.shape), p["wo"])
         x = x + attn
         h = rms_norm(x, p["norm1"], cfg.norm_eps)
@@ -157,14 +187,16 @@ def prefill(params, features, cache: KVCache, cfg: LLMConfig, cos, sin,
 
 
 def decode_step(params, feature, cache: KVCache, pos, cfg: LLMConfig,
-                cos, sin, compute_dtype=jnp.bfloat16):
+                cos, sin, compute_dtype=jnp.bfloat16, pad=None):
     """One AR step. feature: (B, 1, D) embedding of the token at `pos`;
-    cos/sin: (1, Dk/2) rope angles for `pos`. Returns (fp32 logits, cache)."""
+    cos/sin: (1, Dk/2) rope angles for `pos` — or (B, 1, Dk/2) per-row
+    angles with `pad` (B,) for left-padded batches.
+    Returns (fp32 logits, cache)."""
     x = feature.astype(compute_dtype)
     new_k, new_v = [], []
     for i, p in enumerate(params["blocks"]):
         x, kc, vc = block_decode(p, x, cos, sin, cache.k[i], cache.v[i], pos,
-                                 cfg)
+                                 cfg, pad=pad)
         new_k.append(kc)
         new_v.append(vc)
     cache = KVCache(jnp.stack(new_k), jnp.stack(new_v))

@@ -382,6 +382,148 @@ def _sample_jit(params, prompt_features, forced, allow_eos, teacher, rng_key,
 
 
 # ---------------------------------------------------------------------------
+# Batched multi-prompt sampling (serving throughput)
+#
+# Decode at rows<=2 is weights-bandwidth/MXU-occupancy bound (PARITY.md):
+# each step streams the full 2 GB of GPT weights for 2 gemv rows. Batching N
+# prompts into one decode amortizes the weight reads N-fold — the remaining
+# single-chip stage-1 lever. Design: prompts are RIGHT-ALIGNED (left
+# zero-pad to the batch max prefix length, per-row `pad` offsets shift the
+# rope positions and mask padded slots out of attention), so every row
+# shares ONE structural schedule and the whole batch runs in the same
+# jitted while_loop as the single-prompt path. Per-prompt PRNG streams are
+# vmapped, making the batched draw bit-identical to N single runs with the
+# same seeds (tests/test_lm_batch.py).
+
+
+def sample_batch(params, cfg: LLMConfig, schedule: SampleSchedule,
+                 prompt_features, pad, sample_cfg: ARSampleConfig, *,
+                 rng_keys, predict_eos: bool = False,
+                 compute_dtype=jnp.bfloat16, cache_dtype=jnp.bfloat16):
+    """Constrained AR decode for N prompts at once.
+
+    Args:
+      prompt_features: (R, P, D) right-aligned prompt rows; R = 2N with CFG
+        ([cond_0, uncond_0, cond_1, uncond_1, ...]) else N. P = max prompt
+        length in the batch.
+      pad: (R,) int32 left-pad length per row (P - true_prefix_len).
+      schedule: shared schedule built with prefix_len = P (right alignment
+        puts every row's SOI at buffer index P-1, so the structural tables
+        are batch-invariant).
+      rng_keys: (N,) stacked PRNG keys, one stream per prompt —
+        PRNGKey(seed_n); a prompt's draw sequence matches the single-prompt
+        sampler exactly.
+    Returns: list of N (num_visual_n,) int32 code arrays (shorter per
+    prompt if predict_eos fired).
+    """
+    st = _SampleStatic(
+        cfg=cfg, prefix_len=schedule.prefix_len, full_len=schedule.full_len,
+        temperature=sample_cfg.temperature, top_k=sample_cfg.top_k,
+        top_p=sample_cfg.top_p, guidance_scale=sample_cfg.cfg_scale)
+    tokens, stops = _sample_jit_batch(
+        params, prompt_features, jnp.asarray(pad, jnp.int32),
+        jnp.asarray(schedule.forced), jnp.asarray(schedule.allow_eos),
+        rng_keys, st, predict_eos, compute_dtype, cache_dtype)
+    tokens = np.asarray(tokens)              # (N, full_len)
+    stops = np.asarray(stops)
+    pos = np.arange(schedule.full_len)
+    out = []
+    for n in range(tokens.shape[0]):
+        keep = (schedule.visual & (pos >= schedule.prefix_len)
+                & (pos < int(stops[n])))
+        out.append(np.clip(tokens[n][keep], 0, cfg.codebook_size - 1))
+    return out
+
+
+def _draw_one(logits, forced_t, eos_id, key, st: _SampleStatic,
+              allow_eos_t, predict_eos: bool):
+    """Per-prompt draw on combined (V,) logits — vmapped over the batch;
+    op-for-op identical to the single-prompt _sample_token/_sample_restricted
+    sequence so per-key results match bit-exactly."""
+    x = logits
+    if st.top_k > 0:
+        x = top_k_filter_logits(x, st.top_k)
+    probs = jax.nn.softmax(x, axis=-1)
+    if st.top_p < 1.0:
+        probs = top_p_filter_probs(probs, st.top_p)
+    sampled = jax.random.categorical(key, jnp.log(jnp.maximum(probs, 1e-30)))
+    sampled = jnp.where(forced_t >= 0, forced_t, sampled).astype(jnp.int32)
+    hit_eos = jnp.asarray(False)
+    if predict_eos:
+        ids = jnp.arange(logits.shape[-1])
+        allowed = (ids == forced_t) | (ids == eos_id)
+        restricted = jax.random.categorical(
+            key, jnp.where(allowed, logits, -jnp.inf)).astype(jnp.int32)
+        hit_eos = allow_eos_t & (restricted == eos_id)
+        sampled = jnp.where(allow_eos_t & (forced_t >= 0), restricted,
+                            sampled)
+    return sampled, hit_eos
+
+
+@functools.partial(jax.jit, static_argnames=("st", "predict_eos",
+                                             "compute_dtype", "cache_dtype"))
+def _sample_jit_batch(params, prompt_features, pad, forced, allow_eos,
+                      rng_keys, st: _SampleStatic, predict_eos,
+                      compute_dtype, cache_dtype):
+    cfg = st.cfg
+    vocab = Vocab(cfg.codebook_size)
+    rows = prompt_features.shape[0]
+    with_guidance = st.guidance_scale > 0 and st.guidance_scale != 1
+    rows_per = 2 if with_guidance else 1
+    n_prompts = rows // rows_per
+    cos_t, sin_t = rope_1d_table(cfg.rope)
+    cos = jnp.asarray(cos_t[: st.full_len])
+    sin = jnp.asarray(sin_t[: st.full_len])
+
+    # per-row rope angles shifted by the left pad: buffer index j is the
+    # row's logical position j - pad (padded slots clip to 0; masked anyway)
+    ppos = jnp.maximum(
+        jnp.arange(st.prefix_len)[None, :] - pad[:, None], 0)
+    cache = gpt.KVCache.create(cfg, rows, st.full_len, cache_dtype)
+    logits, cache = gpt.prefill(
+        params["gpt"], prompt_features, cache, cfg,
+        cos[ppos], sin[ppos], compute_dtype=compute_dtype, pad=pad)
+
+    out0 = jnp.zeros((n_prompts, st.full_len), jnp.int32)
+    stop0 = jnp.full((n_prompts,), st.full_len, jnp.int32)
+    emb = params["tok_emb"]
+
+    def body(carry):
+        i, logits, cache, keys, out, stop = carry
+        split = jax.vmap(jax.random.split)(keys)       # (N, 2, key)
+        keys, subs = split[:, 0], split[:, 1]
+        comb = logits.reshape(n_prompts, rows_per, -1)
+        if with_guidance:
+            comb = comb[:, 1] + st.guidance_scale * (comb[:, 0] - comb[:, 1])
+        else:
+            comb = comb[:, 0]
+        comb = comb / st.temperature
+        draw = lambda lg, k: _draw_one(lg, forced[i], vocab.EOS, k, st,
+                                       allow_eos[i], predict_eos)
+        sampled, hit_eos = jax.vmap(draw)(comb, subs)
+        stop = jnp.where(hit_eos, jnp.minimum(stop, i), stop)
+        out = out.at[:, i].set(sampled)
+        feat = emb[sampled][:, None]                   # (N, 1, D)
+        feat = jnp.repeat(feat, rows_per, axis=0)      # (R, 1, D)
+        dpos = jnp.maximum(i - pad, 0)[:, None]        # (R, 1)
+        logits, cache = gpt.decode_step(
+            params["gpt"], feat.astype(compute_dtype), cache, i, cfg,
+            cos[dpos], sin[dpos], compute_dtype=compute_dtype, pad=pad)
+        return i + 1, logits, cache, keys, out, stop
+
+    def cond(carry):
+        i = carry[0]
+        stop = carry[5]
+        return (i < st.full_len) & (i <= jnp.max(stop))
+
+    _, _, _, _, out, stop = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(st.prefix_len, jnp.int32), logits, cache, rng_keys,
+         out0, stop0))
+    return out, stop
+
+
+# ---------------------------------------------------------------------------
 # init
 
 
