@@ -4,7 +4,9 @@ cfg-scale/motion/seed sliders :108-144).
 
 Uses gradio when available; otherwise a stdlib http.server fallback with the
 same controls so the demo works in minimal images. No GPU<->CPU model
-swapping is needed (gradio/main.py:31-92) — both stages stay on-chip.
+swapping is needed (gradio/main.py:31-92) — both stages stay on-chip, built
+once into a resident ServingEngine (serving/scheduler.py) that coalesces
+concurrent stage-1 decodes into one batched AR loop.
 
 Run: python -m landiff_tpu.serving.app [--tiny] [--port 7860]
 """
@@ -26,16 +28,31 @@ _PIPELINE = {}
 _LOCK = threading.Lock()
 
 
-def _generate(prompt: str, cfg_scale: float, motion_score: float, seed: int):
-    from landiff_tpu.pipeline.infer_video import run
+def _engine(cfg_scale: float, motion_score: float):
+    """Build the resident ServingEngine once (keyed on the sliders that
+    change model programs); concurrent requests coalesce their stage-1
+    decodes inside it (serving/scheduler.py)."""
+    from landiff_tpu.serving.scheduler import ServingEngine
 
-    with _LOCK:  # one generation at a time (single chip)
-        res = run(prompt, output_dir="results/serving", seed=seed,
-                  cfg_scale=cfg_scale, motion_score=motion_score,
-                  tiny=_PIPELINE.get("tiny", False),
-                  ckpt_dir=_PIPELINE.get("ckpt_dir"),
-                  mesh_spec=_PIPELINE.get("mesh"))
-    return res
+    key = (cfg_scale, motion_score)
+    with _LOCK:
+        if _PIPELINE.get("engine_key") != key:
+            old = _PIPELINE.pop("engine", None)
+            if old is not None:
+                old.shutdown()
+            _PIPELINE["engine"] = ServingEngine.build(
+                tiny=_PIPELINE.get("tiny", False),
+                ckpt_dir=_PIPELINE.get("ckpt_dir"),
+                mesh_spec=_PIPELINE.get("mesh"),
+                cfg_scale=cfg_scale, motion_score=motion_score,
+                max_batch=_PIPELINE.get("max_batch", 8),
+                linger_s=_PIPELINE.get("linger_s", 0.05))
+            _PIPELINE["engine_key"] = key
+        return _PIPELINE["engine"]
+
+
+def _generate(prompt: str, cfg_scale: float, motion_score: float, seed: int):
+    return _engine(cfg_scale, motion_score).generate(prompt, seed=seed)
 
 
 def _video_to_gif_bytes(video: np.ndarray, fps: int = 8) -> bytes:
@@ -120,11 +137,17 @@ def main():
     parser.add_argument("--mesh", default=None,
                         help="device mesh for multi-chip stage-2, e.g. "
                              "data=2,model=4 or data=2,time=4")
+    parser.add_argument("--max-batch", type=int, default=8,
+                        help="stage-1 micro-batch cap (batched AR decode)")
+    parser.add_argument("--batch-window-ms", type=float, default=50.0,
+                        help="linger window for coalescing stage-1 requests")
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
     _PIPELINE["tiny"] = args.tiny
     _PIPELINE["ckpt_dir"] = args.ckpt_dir
     _PIPELINE["mesh"] = args.mesh
+    _PIPELINE["max_batch"] = args.max_batch
+    _PIPELINE["linger_s"] = args.batch_window_ms / 1000.0
     try:
         launch_gradio(args.port)
     except ImportError:
