@@ -79,6 +79,17 @@ Seed: <input name=seed value=42><br>
 
 class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
+        if self.path == "/stats":
+            import json
+
+            eng = _PIPELINE.get("engine")
+            body = json.dumps(eng.stats() if eng is not None
+                              else {"requests": 0}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+            return
         self.send_response(200)
         self.send_header("Content-Type", "text/html")
         self.end_headers()
