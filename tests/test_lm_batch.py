@@ -116,3 +116,22 @@ def test_wrapper_infer_batch_matches_sequential():
         single = w(dataclasses.replace(task))
         np.testing.assert_array_equal(got.result, single.result)
         assert got.prompt == task.prompt
+
+
+def test_batch_matches_single_int8():
+    """Production decode mode: int8 weight-only GPT through the batched
+    loop stays bit-exact vs the single-prompt int8 path (the serving
+    batcher runs this combination)."""
+    from landiff_tpu.models import gpt as gpt_lib
+
+    cfg, params = _setup()
+    qp = dict(params)
+    qp["gpt"] = gpt_lib.quantize_int8(params["gpt"])
+    sc = ARSampleConfig(num_frames=3, cfg_scale=7.5, top_k=0, top_p=1.0,
+                        seed=21)
+    prompts = [_prompt_rows(qp, cfg, n, jax.random.PRNGKey(400 + i), True)
+               for i, n in enumerate((5, 3))]
+    batched = _batched(qp, cfg, prompts, sc, [sc.seed] * 2)
+    for i, rows in enumerate(prompts):
+        single = _single(qp, cfg, rows, sc, sc.seed)
+        np.testing.assert_array_equal(batched[i], single)
