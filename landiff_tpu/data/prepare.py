@@ -10,6 +10,8 @@ run offline over a clip directory:
 
 Clip formats (no ffmpeg needed on minimal images):
   * <clips>/<name>.npy        — (T, H, W, 3) uint8 array
+  * <clips>/<name>.avi        — MJPEG-AVI (native threaded JPEG decode,
+                                landiff_tpu/native; PIL fallback)
   * <clips>/<name>/*.png|jpg  — directory of frames (sorted)
 Captions (for --model lm): <clips>/captions.json {name: caption}; the
 caption text rides along in the shard (string array) so stage-1 training
@@ -42,6 +44,10 @@ def load_clip(path: Path) -> np.ndarray:
     """-> (T, H, W, 3) uint8."""
     if path.suffix == ".npy":
         arr = np.load(path)
+    elif path.suffix == ".avi":
+        from .. import video_io
+
+        arr, _ = video_io.read_mjpeg_avi(path)  # native threaded decode
     elif path.is_dir():
         from PIL import Image
 
@@ -59,7 +65,7 @@ def iter_clips(root: Path):
     for p in sorted(root.iterdir()):
         if p.name == "captions.json":
             continue
-        if p.suffix == ".npy" or p.is_dir():
+        if p.suffix in (".npy", ".avi") or p.is_dir():
             yield p.stem, load_clip(p)
 
 
