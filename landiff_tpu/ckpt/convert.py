@@ -455,7 +455,7 @@ def convert_vae(sd: dict[str, np.ndarray], num_res_blocks: int = 3,
 
 def convert_theia(sd: dict[str, np.ndarray], num_layers: int = 12) -> dict:
     for pre in ("backbone.model.", "model.backbone.model.", ""):
-        if pre + "embeddings.cls_token" in sd:
+        if pre + "embeddings.position_embeddings" in sd:
             sd = _sub(sd, pre)
             break
     blocks = []
@@ -479,15 +479,22 @@ def convert_theia(sd: dict[str, np.ndarray], num_layers: int = 12) -> dict:
             "fc1_w": _lin(sd, p + "output.dense.weight"),
             "fc1_b": sd[p + "output.dense.bias"],
         })
-    return {
+    out = {
         "patch_w": _conv2d(sd, "embeddings.patch_embeddings.projection.weight"),
         "patch_b": sd["embeddings.patch_embeddings.projection.bias"],
-        "cls": sd["embeddings.cls_token"].reshape(-1),
         "pos": sd["embeddings.position_embeddings"][0],
         "blocks": blocks,
         "ln_f_w": sd["layernorm.weight"],
         "ln_f_b": sd["layernorm.bias"],
     }
+    # DeiTNoCLS has no cls_token (theia_model.py:79-92); DeiTReg adds
+    # register tokens + their pos embed (theia_model.py:199-227)
+    if "embeddings.cls_token" in sd:
+        out["cls"] = sd["embeddings.cls_token"].reshape(-1)
+    if "embeddings.reg_token" in sd:
+        out["reg_token"] = sd["embeddings.reg_token"][0]
+        out["reg_pos"] = sd["embeddings.reg_pos_embed"][0]
+    return out
 
 
 # ---------------------------------------------------------------------------

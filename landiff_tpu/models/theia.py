@@ -41,10 +41,14 @@ def _cubic_kernel(x, a=-0.75):
         np.where(x < 2, (((x - 5) * x + 8) * x - 4) * a, 0.0))
 
 
-def _resize_axis_matrix(src: int, dst: int) -> np.ndarray:
+def _resize_axis_matrix(src: int, dst: int,
+                        scale: float | None = None) -> np.ndarray:
     """(dst, src) row-stochastic matrix for torch-style bicubic
-    (align_corners=False, half-pixel centers)."""
-    scale = src / dst
+    (align_corners=False, half-pixel centers). `scale` overrides the
+    source-coordinate step (torch F.interpolate given scale_factor=sf uses
+    step 1/sf, not src/dst)."""
+    if scale is None:
+        scale = src / dst
     out = np.zeros((dst, src), np.float64)
     for i in range(dst):
         center = (i + 0.5) * scale - 0.5
@@ -59,19 +63,27 @@ def _resize_axis_matrix(src: int, dst: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=16)
 def interpolate_pos_embed_matrixes(src_h: int, src_w: int, dst_h: int,
-                                   dst_w: int):
-    return (_resize_axis_matrix(src_h, dst_h),
-            _resize_axis_matrix(src_w, dst_w))
+                                   dst_w: int, dino_scale: bool = False):
+    """dino_scale: the vendored DeiTNoCLS/DeiTReg embeddings interpolate with
+    F.interpolate(scale_factor=(h0+0.1)/sqrt(N)) — DINO's +0.1 trick
+    (theia_model.py:103-120, 229-270) — whose sampling step is 1/sf, NOT
+    src/dst. The plain CLS variant goes through HF ViTModel's size-based
+    interpolation instead."""
+    sh = src_h / (dst_h + 0.1) if dino_scale else None
+    sw = src_w / (dst_w + 0.1) if dino_scale else None
+    return (_resize_axis_matrix(src_h, dst_h, sh),
+            _resize_axis_matrix(src_w, dst_w, sw))
 
 
-def interpolate_pos_embed(pos: np.ndarray, dst_h: int, dst_w: int) -> np.ndarray:
+def interpolate_pos_embed(pos: np.ndarray, dst_h: int, dst_w: int,
+                          dino_scale: bool = False) -> np.ndarray:
     """pos: (1+G, D) with CLS first. Returns (1 + dst_h*dst_w, D)."""
     cls_pos, patch_pos = pos[:1], pos[1:]
     g = int(round(math.sqrt(patch_pos.shape[0])))
     assert g * g == patch_pos.shape[0]
     d = patch_pos.shape[-1]
     grid = patch_pos.reshape(g, g, d).astype(np.float64)
-    mh, mw = interpolate_pos_embed_matrixes(g, g, dst_h, dst_w)
+    mh, mw = interpolate_pos_embed_matrixes(g, g, dst_h, dst_w, dino_scale)
     grid = np.einsum("hH,Hwd->hwd", mh, grid)
     grid = np.einsum("wW,hWd->hwd", mw, grid)
     return np.concatenate(
@@ -137,7 +149,10 @@ def forward_features(params, images, cfg: TheiaConfig,
     if (h, w) == (src_g, src_g):
         pos = np.asarray(params["pos"])
     else:
-        pos = interpolate_pos_embed(np.asarray(params["pos"]), h, w)
+        # no_cls/reg variants interpolate DINO-style (scale_factor +0.1);
+        # the plain variant uses HF's size-based bicubic
+        pos = interpolate_pos_embed(np.asarray(params["pos"]), h, w,
+                                    dino_scale=no_cls or n_reg > 0)
     if no_cls:
         pos = pos[1:]
     pos = jnp.asarray(pos, compute_dtype)

@@ -187,9 +187,13 @@ def head_forward(p, x, *, no_cls=False):
     if kind == "mlp":
         grid = x.reshape(B, hs, ws, cs)
         if (hs, ws) != (ht, wt):
-            # torch F.interpolate bilinear align_corners=False ==
-            # jax.image.resize 'linear' (half-pixel centers)
-            grid = jax.image.resize(grid, (B, ht, wt, cs), "linear")
+            # MLPAdapterHead interpolates with F.interpolate's DEFAULT mode
+            # — 'nearest', src index floor(i*src/dst) (theia_model.py:
+            # 670-684, Interpolation wraps interpolate(x, size) bare) —
+            # not bilinear, and not jax's half-pixel 'nearest'.
+            hi = jnp.floor(jnp.arange(ht) * (hs / ht)).astype(jnp.int32)
+            wi = jnp.floor(jnp.arange(wt) * (ws / wt)).astype(jnp.int32)
+            grid = grid[:, hi][:, :, wi]
         out = grid.reshape(B, ht * wt, cs)
         for i, lin in enumerate(p["layers"]):
             if i:
@@ -202,20 +206,20 @@ def head_forward(p, x, *, no_cls=False):
         grid = conv_transpose2d({"w": p["pad"]["w"], "b": p["pad"]["b"]},
                                 grid, stride=1, padding=0,
                                 output_padding=p["pad_out"])
-    first = True
+    # LightConvAdapterHead stacks are LN -> (Conv, ReLU) -> LN -> ... -> LN
+    # -> Linear: every conv is followed IMMEDIATELY by ReLU, then the next
+    # LayerNorm; no activation before the output linear
+    # (theia_model.py:1022-1085).
     for item in p["stack"]:
         if item[0] == "ln":
             grid = layer_norm_chw(item[1], grid)
         else:
-            if not first:
-                grid = jax.nn.relu(grid)
             kwargs = item[2]
             if item[0] == "convt":
                 grid = conv_transpose2d(item[1], grid, **kwargs)
             else:
                 grid = conv2d(item[1], grid, **kwargs)
-            first = False
-    grid = jax.nn.relu(grid)
+            grid = jax.nn.relu(grid)
     out = grid.reshape(B, -1, grid.shape[-1])
     return _linear(p["out"], out)
 

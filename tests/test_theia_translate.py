@@ -38,8 +38,10 @@ def test_conv_transpose_matches_torch():
 
 
 def test_mlp_head_matches_torch_transcription():
-    """MLPAdapterHead: drop CLS, bilinear resize (align_corners=False),
-    3-layer MLP with hidden 2*C (theia_model.py:723-805)."""
+    """MLPAdapterHead: drop CLS, NEAREST resize (F.interpolate default —
+    theia_model.py:683; verified against the real module in
+    test_reference_oracles.py), 3-layer MLP with hidden 2*C
+    (theia_model.py:723-805)."""
     rng = np.random.default_rng(1)
     cs, hs, ws = 8, 4, 4
     ct_, ht, wt = 6, 8, 8
@@ -50,8 +52,7 @@ def test_mlp_head_matches_torch_transcription():
 
     xt = torch.from_numpy(x)[:, 1:]
     grid = xt.reshape(2, hs, ws, cs).permute(0, 3, 1, 2)
-    grid = torch.nn.functional.interpolate(grid, (ht, wt), mode="bilinear",
-                                           align_corners=False)
+    grid = torch.nn.functional.interpolate(grid, (ht, wt))  # default nearest
     y = grid.permute(0, 2, 3, 1).reshape(2, ht * wt, cs)
     for i, lin in enumerate(head["layers"]):
         if i:
