@@ -183,6 +183,49 @@ def micro_cond_features(params, cfg: LLMConfig, values: dict[str, float],
     return jnp.stack(outs)
 
 
+def micro_cond_features_batch(params, cfg: LLMConfig, values, batch: int,
+                              *, drop_key=None, drop_probs=None,
+                              compute_dtype=jnp.bfloat16):
+    """Batched MicroConditioner with training-time conditioning dropout
+    (conditioner.py:77-88, 117-141): per key, the sinusoid embedding is
+    replaced PRE-MLP by the learned null embedding
+    (params["micro_null"][key], shape (freq,)) with probability
+    drop_probs[key], per sample. Returns (batch, num_keys, D)."""
+    drop_probs = drop_probs or {}
+    outs = []
+    keys = sorted(cfg.micro_cond_keys)
+    if drop_key is not None:
+        subkeys = dict(zip(keys, jax.random.split(drop_key, len(keys))))
+    for key in keys:
+        p = params["micro"][key]
+        v = jnp.broadcast_to(jnp.asarray(values[key], jnp.float32), (batch,))
+        emb = timestep_embedding(v, cfg.micro_cond_embed_dim,
+                                 dtype=compute_dtype)          # (B, freq)
+        prob = drop_probs.get(key, 0.0)
+        if drop_key is not None and prob > 0:
+            null = params["micro_null"][key].astype(compute_dtype)
+            keep = (jax.random.uniform(subkeys[key], (batch, 1)) > prob)
+            emb = jnp.where(keep, emb, null[None])
+        h = jax.nn.silu(emb @ p["fc0_w"].astype(compute_dtype)
+                        + p["fc0_b"].astype(compute_dtype))
+        outs.append(h @ p["fc1_w"].astype(compute_dtype)
+                    + p["fc1_b"].astype(compute_dtype))
+    return jnp.stack(outs, axis=1)
+
+
+def text_dropout(params, text_feats, key, drop_prob: float):
+    """TextCond training-time CFG dropout (conditioner.py:238-248): with
+    probability drop_prob per SAMPLE, the whole projected text feature block
+    is replaced by the learned null embedding (which thereby receives
+    gradients). text_feats: (B, n_text, D)."""
+    if drop_prob <= 0:
+        return text_feats
+    B = text_feats.shape[0]
+    keep = jax.random.uniform(key, (B, 1, 1)) > drop_prob
+    null = params["null_text_embedding"].astype(text_feats.dtype)
+    return jnp.where(keep, text_feats, null[None, None])
+
+
 def text_cond_features(params, text_embedding, compute_dtype=jnp.bfloat16):
     """TextCond MLP projection (conditioner.py:173-264): T5 features (S, 4096)
     -> MLP2(gelu-tanh) -> (S, D)."""
@@ -527,11 +570,16 @@ def _sample_jit_batch(params, prompt_features, pad, forced, allow_eos,
 # init
 
 
-def init(key, cfg: LLMConfig, t5_dim: int = 4096, dtype=jnp.float32):
+def init(key, cfg: LLMConfig, t5_dim: int = 4096, dtype=jnp.float32,
+         micro_drop_probs: dict[str, float] | None = None):
+    """micro_drop_probs: keys with prob > 0 get a learned null embedding
+    (randn(freq)/sqrt(freq), conditioner.py:58-68) used by the training-time
+    per-key conditioning dropout. The released inference checkpoints have
+    none (drop_probs unset in llm_cfg.py), so these params are optional."""
     import math
 
     D = cfg.hidden_size
-    keys = iter(jax.random.split(key, 16))
+    keys = iter(jax.random.split(key, 18 + len(cfg.micro_cond_keys)))
     tn = lambda k, shape: (jax.random.truncated_normal(k, -2, 2, shape)
                            * math.sqrt(2 / shape[0])).astype(dtype)
     micro = {}
@@ -545,7 +593,7 @@ def init(key, cfg: LLMConfig, t5_dim: int = 4096, dtype=jnp.float32):
             "fc1_w": jnp.zeros((512, D), dtype),
             "fc1_b": jnp.zeros((D,), dtype),
         }
-    return {
+    out = {
         "gpt": gpt.init(next(keys), cfg, dtype),
         "tok_emb": (jax.random.normal(next(keys), (cfg.vocab_size, D))
                     * 0.02).astype(dtype),
@@ -559,3 +607,12 @@ def init(key, cfg: LLMConfig, t5_dim: int = 4096, dtype=jnp.float32):
                                 / D ** 0.5).astype(dtype),
         "micro": micro,
     }
+    micro_null = {}
+    for name in sorted(cfg.micro_cond_keys):
+        if micro_drop_probs and micro_drop_probs.get(name, 0.0) > 0:
+            F = cfg.micro_cond_embed_dim
+            micro_null[name] = (jax.random.normal(next(keys), (F,))
+                                / F ** 0.5).astype(dtype)
+    if micro_null:
+        out["micro_null"] = micro_null
+    return out

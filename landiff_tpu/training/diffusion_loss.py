@@ -43,11 +43,20 @@ def video_diffusion_loss(main_params, control_params, sem_params,
                          sem_cfg: SemanticCondConfig, *,
                          fixed_frames: int = 0, dp_rank: int = 0,
                          dp_size: int = 1, compute_dtype=jnp.bfloat16,
-                         remat: bool = True):
+                         remat: bool = True, ucg_rate: float = 0.0):
     """v-pred L2 with 1/(1-acp) weighting; prefix frames kept clean and
-    excluded from the loss (loss.py:155-172)."""
+    excluded from the loss (loss.py:155-172).
+
+    ucg_rate: GeneralConditioner's per-embedder unconditional-guidance
+    dropout (encoders/modules.py:150-166): with probability ucg_rate per
+    sample, the text context is zeroed — matching inference's
+    force_uc_zero_embeddings=["txt"] uc row, which is exactly zeros. This
+    is what trains the model's CFG capability."""
     B = latents.shape[0]
-    k_idx, k_noise = jax.random.split(key)
+    k_idx, k_noise, k_ucg = jax.random.split(key, 3)
+    if ucg_rate > 0.0:
+        keep = jax.random.bernoulli(k_ucg, 1.0 - ucg_rate, (B,))
+        context = context * keep[:, None, None].astype(context.dtype)
     table = jnp.asarray(
         schedule.zero_snr_sigmas(sampler_cfg, sampler_cfg.num_train_timesteps,
                                  return_idx=False).copy(), jnp.float32)
@@ -87,9 +96,10 @@ def video_diffusion_loss(main_params, control_params, sem_params,
 
 def make_train_step(optimizer, dit_cfg, sampler_cfg, tok_cfg, sem_cfg, *,
                     fixed_frames: int = 0, compute_dtype=jnp.bfloat16,
-                    remat: bool = True):
+                    remat: bool = True, ucg_rate: float = 0.0):
     """ControlNet training step: grads w.r.t. the control branch only
-    (freeze_dit semantics)."""
+    (freeze_dit semantics). ucg_rate trains CFG via per-sample context
+    zeroing (see video_diffusion_loss)."""
 
     def loss_fn(control_params, main_params, sem_params, latents, context,
                 tokens, key):
@@ -97,7 +107,7 @@ def make_train_step(optimizer, dit_cfg, sampler_cfg, tok_cfg, sem_cfg, *,
             main_params, control_params, sem_params, latents, context,
             tokens, key, dit_cfg, sampler_cfg, tok_cfg, sem_cfg,
             fixed_frames=fixed_frames, compute_dtype=compute_dtype,
-            remat=remat)
+            remat=remat, ucg_rate=ucg_rate)
 
     def train_step(control_params, opt_state, main_params, sem_params,
                    latents, context, tokens, key):
@@ -117,7 +127,7 @@ def make_train_step(optimizer, dit_cfg, sampler_cfg, tok_cfg, sem_cfg, *,
 def make_train_step_sp(optimizer, mesh, dit_cfg, sampler_cfg, tok_cfg,
                        sem_cfg, *, fixed_frames: int = 0,
                        compute_dtype=jnp.bfloat16, remat: bool = True,
-                       attn_impl: str = "xla"):
+                       attn_impl: str = "xla", ucg_rate: float = 0.0):
     """SEQUENCE-PARALLEL ControlNet train step over a (data, time) mesh:
     the 45-layer network forward/backward runs token-sharded over the
     `time` axis (dit.control_warp_forward_sp — ring attention, replicated
@@ -169,9 +179,15 @@ def make_train_step_sp(optimizer, mesh, dit_cfg, sampler_cfg, tok_cfg,
     def loss_fn(control_params, main_params, sem_params, latents, context,
                 tokens, key):
         # global-batch noising identical to video_diffusion_loss (same key
-        # -> same idx/noise as the unsharded step; parity-tested)
+        # -> same idx/noise as the unsharded step; parity-tested).
+        # NOTE: split(key) here and split(key, 3) there give DIFFERENT
+        # subkey values, so ucg must use the same 3-way split to stay
+        # bit-identical to the unsharded step.
         B = latents.shape[0]
-        k_idx, k_noise = jax.random.split(key)
+        k_idx, k_noise, k_ucg = jax.random.split(key, 3)
+        if ucg_rate > 0.0:
+            keep = jax.random.bernoulli(k_ucg, 1.0 - ucg_rate, (B,))
+            context = context * keep[:, None, None].astype(context.dtype)
         table = jnp.asarray(
             schedule.zero_snr_sigmas(sampler_cfg,
                                      sampler_cfg.num_train_timesteps,

@@ -164,43 +164,34 @@ def _setup_dit(cfg: LanDiffConfig, optimizer, mesh, dtype):
     return (ctrl_p, opt_state), run, bsh
 
 
-def _setup_lm(cfg: LanDiffConfig, optimizer, mesh, dtype):
+def _setup_lm(cfg: LanDiffConfig, optimizer, mesh, dtype,
+              cfg_drop_prob: float = 0.1,
+              micro_drop_probs: dict | None = None):
+    """Stage-1 step with the conditioners INSIDE the gradient (text proj,
+    micro MLPs, token embeddings, null embeddings) and CFG conditioning
+    dropout (TextCond cfg_drop_prob=0.1 per llm_cfg.py:60-62; optional
+    per-key micro drop). The previous host-side prompt assembly computed
+    conditioner features outside the jitted loss, so they never trained."""
     from landiff_tpu.models import lm as lm_lib
 
     params = mesh_lib.shard_params(
         lm_lib.init(jax.random.PRNGKey(0), cfg.llm, t5_dim=cfg.t5.d_model,
-                    dtype=dtype),
+                    dtype=dtype, micro_drop_probs=micro_drop_probs),
         mesh, mesh_lib.GPT_RULES)
     opt_state, opt_sh = zero.zero_shard_opt_state(optimizer.init(params),
                                                   mesh)
-    step = lm_train.make_train_step(optimizer, cfg.llm, compute_dtype=dtype,
-                                    opt_shardings=opt_sh)
-    bsh = NamedSharding(mesh, P("data"))
     micro = {"frames": cfg.llm.frames_per_segment, "motion_score": 0.1}
-
-    def collate(params, batch):
-        # host-side teacher-forcing assembly (prompt embeddings depend on
-        # the current conditioner params); rows are equal-length by
-        # construction (same schedule for every sample). The micro-cond
-        # features are constant per step (fixed dict) — compute once.
-        mic = lm_lib.micro_cond_features(params, cfg.llm, micro,
-                                         compute_dtype=jnp.float32)
-        rows = []
-        for t5f, codes in zip(batch["t5_feats"], batch["codes"]):
-            text = lm_lib.text_cond_features(params, jnp.asarray(t5f),
-                                             compute_dtype=jnp.float32)
-            rows.append(lm_train.build_training_batch(
-                params, cfg.llm, text, mic, np.asarray(codes)))
-        feats = jnp.stack([r[0] for r in rows])
-        labels = jnp.stack([r[1] for r in rows])
-        masks = jnp.stack([r[2] for r in rows])
-        return feats, labels, masks
+    step = lm_train.make_cond_train_step(
+        optimizer, cfg.llm, micro, cfg_drop_prob=cfg_drop_prob,
+        micro_drop_probs=micro_drop_probs, compute_dtype=dtype,
+        opt_shardings=opt_sh)
+    bsh = NamedSharding(mesh, P("data"))
 
     def run(state, batch, key):
         params, opt_state = state
-        feats, labels, masks = collate(params, batch)
-        params, opt_state, loss = step(params, opt_state, feats, labels,
-                                       masks)
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(np.stack(batch["t5_feats"])),
+            jnp.asarray(np.stack(batch["codes"])), key)
         return (params, opt_state), {"loss": loss}
 
     return (params, opt_state), run, bsh
