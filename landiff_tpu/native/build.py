@@ -43,7 +43,10 @@ def build_library(force: bool = False) -> Path | None:
     if out.exists() and not force:
         return out
     out.parent.mkdir(parents=True, exist_ok=True)
-    tmp = out.with_suffix(".so.tmp")
+    # unique temp per process: concurrent first-use builds (multi-process
+    # training sharing a cache dir) must not interleave g++ output into one
+    # file and promote a corrupt .so via os.replace
+    tmp = out.with_suffix(f".so.tmp.{os.getpid()}")
     cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", str(_SRC),
            "-o", str(tmp), "-ljpeg", "-lpthread"]
     try:
@@ -52,7 +55,9 @@ def build_library(force: bool = False) -> Path | None:
         err = getattr(e, "stderr", b"") or b""
         logger.warning("native build failed (%s): %s", e,
                        err.decode(errors="replace")[:500])
-        return None
+        tmp.unlink(missing_ok=True)
+        # another process may have finished its build meanwhile
+        return out if out.exists() else None
     os.replace(tmp, out)
     return out
 

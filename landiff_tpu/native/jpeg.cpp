@@ -52,15 +52,24 @@ int lt_jpeg_encode(const uint8_t* rgb, int h, int w, int quality,
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = lt_error_exit;
   jerr.pub.output_message = lt_silent_message;
-  unsigned char* buf = nullptr;
+  // The JPEG buffer pointer lives in the CALLER's storage (*out), not in a
+  // local: automatic locals modified between setjmp and longjmp are
+  // indeterminate when read in the error branch (C99 7.13.2.1), so under
+  // -O3 an error path freeing a local pointer could free a stale value.
+  // buf_len is only read on the success path, so it may stay a local.
+  *out = nullptr;
+  *out_len = 0;
   unsigned long buf_len = 0;
   if (setjmp(jerr.jump)) {
     jpeg_destroy_compress(&cinfo);
-    if (buf) free(buf);
+    if (*out) {
+      free(*out);
+      *out = nullptr;
+    }
     return 1;
   }
   jpeg_create_compress(&cinfo);
-  jpeg_mem_dest(&cinfo, &buf, &buf_len);
+  jpeg_mem_dest(&cinfo, out, &buf_len);
   cinfo.image_width = w;
   cinfo.image_height = h;
   cinfo.input_components = 3;
@@ -75,7 +84,6 @@ int lt_jpeg_encode(const uint8_t* rgb, int h, int w, int quality,
   }
   jpeg_finish_compress(&cinfo);
   jpeg_destroy_compress(&cinfo);
-  *out = buf;
   *out_len = buf_len;
   return 0;
 }

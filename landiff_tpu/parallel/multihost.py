@@ -49,10 +49,23 @@ def initialize(coordinator_address: str | None = None,
     if coordinator_address is None:
         for k in _ENV_COORD:
             if os.environ.get(k):
+                if k == "MASTER_ADDR" and not (os.environ.get("RANK")
+                                               and os.environ.get(
+                                                   "WORLD_SIZE")):
+                    # a stray MASTER_ADDR (e.g. leaked from a torch
+                    # launcher wrapper) without RANK/WORLD_SIZE is not a
+                    # genuine torchrun-style launch — honoring it would
+                    # block a single-process run in rendezvous
+                    continue
                 host = os.environ[k]
-                port = os.environ.get("MASTER_PORT", "")
-                coordinator_address = (host if ":" in host or not port
-                                       else f"{host}:{port}")
+                if ":" in host:
+                    coordinator_address = host
+                else:
+                    # jax.distributed.initialize needs host:port; default
+                    # the torch launcher's conventional port when only
+                    # MASTER_ADDR is set
+                    port = os.environ.get("MASTER_PORT", "29500")
+                    coordinator_address = f"{host}:{port}"
                 break
     if num_processes is None:
         for k in ("NUM_PROCESSES", "WORLD_SIZE"):
@@ -64,8 +77,13 @@ def initialize(coordinator_address: str | None = None,
             if os.environ.get(k):
                 process_id = int(os.environ[k])
                 break
-    on_tpu_pod = bool(os.environ.get("TPU_WORKER_HOSTNAMES")
-                      or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
+    # TPU_WORKER_HOSTNAMES lists ALL pod workers comma-separated; a single
+    # hostname is a single-host runtime (the axon tunnel plugin sets
+    # TPU_WORKER_HOSTNAMES=localhost in-process) and must not trigger a
+    # rendezvous that would block forever.
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    on_tpu_pod = ("," in hostnames
+                  or bool(os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")))
     if coordinator_address is None and not on_tpu_pod:
         return False  # single-process launch: nothing to rendezvous
     try:
