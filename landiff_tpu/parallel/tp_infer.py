@@ -187,7 +187,9 @@ def make_tp_denoise_fn(params, mesh: Mesh, dit_cfg: DiTConfig,
     from landiff_tpu.diffusion import engine, schedule
 
     if int8 is None:
-        int8 = os.environ.get("LANDIFF_DIT_INT8") == "1"
+        from landiff_tpu.utils import env_flag
+
+        int8 = env_flag("LANDIFF_DIT_INT8")
     has_sp = mesh.shape.get(SP_AXIS, 1) > 1
     has_tp = mesh.shape.get(TP_AXIS, 1) > 1
     # mode: 'tp' (Megatron heads), 'sp' (token ring), 'tpsp' (2-D hybrid —

@@ -61,7 +61,8 @@ class CogModelInferWrapper:
         self.mesh = mesh
         self.compute_dtype = compute_dtype
         self.attn_impl = attn_impl
-        if os.environ.get("LANDIFF_DIT_INT8") == "1" and mesh is None:
+        from landiff_tpu.utils import env_flag
+        if env_flag("LANDIFF_DIT_INT8") and mesh is None:
             # W8A8 int8 DiT linears (dit.quantize_int8); opt-in,
             # drift-gated. The mesh path quantizes AFTER its tp prep
             # instead (tp_infer.make_tp_denoise_fn reads the same knob),

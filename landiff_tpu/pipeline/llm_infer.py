@@ -49,7 +49,9 @@ class ArModelInferWrapper:
         import os
 
         if int8_decode is None:
-            int8_decode = os.environ.get("LANDIFF_DECODE_INT8") == "1"
+            from landiff_tpu.utils import env_flag
+
+            int8_decode = env_flag("LANDIFF_DECODE_INT8")
         if int8_decode:
             # weight-only int8 GPT: decode is weights-bandwidth bound, so
             # halving HBM bytes/step nearly halves stage-1 latency

@@ -17,6 +17,15 @@ import numpy as np
 logger = logging.getLogger("landiff_tpu")
 
 
+# LANDIFF_FAST=1 — the measured serving fast preset (DEPLOYMENT.md): flips
+# every quantization knob whose compound drift is test-gated. int8-scores
+# attention is already the inference default; the preset adds W8A8 DiT
+# linears (-4.1% step time measured, tests/test_dit_int8_drift.py) and
+# weight-only int8 stage-1 decode (8.3 s vs 11.7 s measured,
+# tests/test_fast_preset.py gates the combination).
+_FAST_PRESET = {"LANDIFF_DIT_INT8": True, "LANDIFF_DECODE_INT8": True}
+
+
 def stable_hash(key: str) -> int:
     """Run-stable hash (reference utils.py:317-324): first 20 hex digits of
     sha256, as an int. Used to derive per-prompt seeds."""
@@ -127,7 +136,12 @@ def freeze_tree(params):
 
 
 def env_flag(name: str, default: bool = False) -> bool:
+    """Read a boolean env knob. An explicit setting always wins; otherwise
+    LANDIFF_FAST=1 turns on the knobs in its preset (see _FAST_PRESET);
+    otherwise `default`."""
     v = os.environ.get(name)
     if v is None:
+        if name in _FAST_PRESET and os.environ.get("LANDIFF_FAST") == "1":
+            return _FAST_PRESET[name]
         return default
     return v.lower() not in ("0", "false", "no", "")
