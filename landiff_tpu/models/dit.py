@@ -183,8 +183,26 @@ def _layer(p, x, emb, cfg: DiTConfig, attn_impl):
           t_shift_msa, t_scale_msa, t_gate_msa, t_shift_mlp, t_scale_mlp,
           t_gate_mlp) = _adaln_sel(p, emb, S, tl, dt)
 
-    h = layer_norm(x, p["ln1_w"], p["ln1_b"], 1e-6)
-    h = h * (1.0 + sel(t_scale_msa, scale_msa)) + sel(t_shift_msa, shift_msa)
+    # LANDIFF_FUSED_ADALN=1: one-HBM-pass Pallas LayerNorm+modulate
+    # (ops/adaln.py). MEASURED SLOWER than XLA at production shape
+    # (1.87 vs 1.44 ms/call, benchmarks/bench_adaln.py) — rejected,
+    # keep OFF; knob retained for archaeology only
+    from landiff_tpu.ops import adaln as adaln_lib
+    from landiff_tpu.utils import env_flag
+
+    fused = env_flag("LANDIFF_FUSED_ADALN")
+    mod_impl = "auto" if fused else "xla"
+
+    def modulate(y, wname, bname, t_shift, t_scale, v_shift, v_scale):
+        if fused:
+            return adaln_lib.adaln_modulate(
+                y, p[wname].astype(dt), p[bname].astype(dt), t_shift,
+                t_scale, v_shift, v_scale, text_len=tl, impl=mod_impl)
+        h = layer_norm(y, p[wname], p[bname], 1e-6)
+        return h * (1.0 + sel(t_scale, v_scale)) + sel(t_shift, v_shift)
+
+    h = modulate(x, "ln1_w", "ln1_b", t_shift_msa, t_scale_msa,
+                 shift_msa, scale_msa)
 
     qkv = _linear(p, "qkv", h)
     q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -198,8 +216,8 @@ def _layer(p, x, emb, cfg: DiTConfig, attn_impl):
     attn = _linear(p, "attn_out", attn)
     x = x + sel(t_gate_msa, gate_msa) * attn
 
-    h = layer_norm(x, p["ln2_w"], p["ln2_b"], 1e-6)
-    h = h * (1.0 + sel(t_scale_mlp, scale_mlp)) + sel(t_shift_mlp, shift_mlp)
+    h = modulate(x, "ln2_w", "ln2_b", t_shift_mlp, t_scale_mlp,
+                 shift_mlp, scale_mlp)
     h = jax.nn.gelu(_linear(p, "mlp0", h), approximate=True)
     h = _linear(p, "mlp1", h)
     x = x + sel(t_gate_mlp, gate_mlp) * h
