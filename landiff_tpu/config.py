@@ -215,6 +215,14 @@ class DiTConfig:
     # 3D sincos position embedding interpolation (yaml pos-embed config)
     pos_interp_scale: float = 1.875
     control_layers: int = 15      # ControlDiffusionTransformer
+    # positional-embedding alternative: "sincos3d" (the released config's
+    # Basic3DPositionEmbeddingMixin) or "rotary3d"
+    # (Rotary3DPositionEmbeddingMixin, dit_video_concat.py:275-385 —
+    # unused by the shipped checkpoint but part of the reference surface)
+    pos_embed: str = "sincos3d"
+    rope_theta: float = 10000.0
+    rot_v: bool = False           # also rotate V (dit_video_concat.py:371)
+    learnable_pos_embed: bool = False  # zeros-init additive table (:336-341)
 
     @property
     def head_dim(self) -> int:

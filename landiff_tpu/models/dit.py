@@ -88,6 +88,81 @@ def pos_embed_table(cfg: DiTConfig) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Rotary 3-D positional alternative (Rotary3DPositionEmbeddingMixin,
+# dit_video_concat.py:275-385). Unused by the released checkpoint (which
+# ships Basic3D sincos) but part of the reference surface: per-head-dim
+# axis split t:D/4, h:3D/8, w:3D/8, pairwise-interleaved frequencies,
+# rotation applied to the VIDEO token slice of q/k (and v when rot_v)
+# after qk-LN, i.e. exactly where the reference's attention_fn hook
+# mutates query/key_layer (:352-371).
+
+
+@functools.lru_cache(maxsize=4)
+def rotary3d_tables(cfg: DiTConfig):
+    """(video_tokens, head_dim) f32 cos/sin tables. Matches the reference
+    construction (f32 throughout): freqs per axis 1/theta^(2i/dim),
+    repeat-interleaved x2, broadcast-concat over the (T, H, W) grid
+    (dit_video_concat.py:291-330)."""
+    Dk = cfg.head_dim
+    dim_t, dim_h = Dk // 4, Dk // 8 * 3
+    dim_w = dim_h
+
+    def freqs(dim):
+        idx = np.arange(0, dim, 2, dtype=np.float32)[: dim // 2]
+        return (1.0 / cfg.rope_theta ** (idx / dim)).astype(np.float32)
+
+    T = cfg.latent_frames
+    hh = cfg.latent_height // cfg.patch_size
+    ww = cfg.latent_width // cfg.patch_size
+    ft = np.outer(np.arange(T, dtype=np.float32), freqs(dim_t))
+    fh = np.outer(np.arange(hh, dtype=np.float32), freqs(dim_h))
+    fw = np.outer(np.arange(ww, dtype=np.float32), freqs(dim_w))
+    # repeat '... n -> ... (n r)', r=2 (:313-315)
+    ft, fh, fw = (np.repeat(a, 2, axis=-1) for a in (ft, fh, fw))
+    f = np.concatenate([
+        np.broadcast_to(ft[:, None, None, :], (T, hh, ww, dim_t)),
+        np.broadcast_to(fh[None, :, None, :], (T, hh, ww, dim_h)),
+        np.broadcast_to(fw[None, None, :, :], (T, hh, ww, dim_w)),
+    ], axis=-1).reshape(T * hh * ww, Dk)
+    return np.cos(f), np.sin(f)
+
+
+def _rotate_half(t):
+    # pairwise-interleaved rotate (dit_video_concat.py:268-273)
+    x = t.reshape(*t.shape[:-1], t.shape[-1] // 2, 2)
+    return jnp.stack([-x[..., 1], x[..., 0]], axis=-1).reshape(t.shape)
+
+
+def _apply_rotary3d(t, cos, sin, text_len: int, offset=0):
+    """t: (B, S_local, H, Dk) holding tokens [offset, offset + S_local) of
+    the [text|video] sequence; rotates only positions >= text_len (the
+    reference mutates the video slice of query/key_layer in place,
+    :352-360). Implemented as a table gather + where so it works unchanged
+    when the sequence is sharded (offset may be a traced shard offset
+    under SP/TP-hybrid) — no concat, one (S_local, Dk) row gather."""
+    S = t.shape[1]
+    g = offset + jnp.arange(S)
+    vp = jnp.clip(g - text_len, 0, cos.shape[0] - 1)
+    c = cos[vp][None, :, None, :].astype(t.dtype)
+    s = sin[vp][None, :, None, :].astype(t.dtype)
+    rot = t * c + _rotate_half(t) * s
+    return jnp.where((g < text_len)[None, :, None, None], t, rot)
+
+
+def _maybe_rotary(q, k, v, cfg: DiTConfig, text_len: int, offset=0):
+    """Applied AFTER qk-LN — the reference's attention_fn hook receives
+    the post-LN query/key_layer (dit_video_concat.py:352-371)."""
+    if cfg.pos_embed != "rotary3d":
+        return q, k, v
+    cos, sin = (jnp.asarray(a) for a in rotary3d_tables(cfg))
+    q = _apply_rotary3d(q, cos, sin, text_len, offset)
+    k = _apply_rotary3d(k, cos, sin, text_len, offset)
+    if cfg.rot_v:
+        v = _apply_rotary3d(v, cos, sin, text_len, offset)
+    return q, k, v
+
+
+# ---------------------------------------------------------------------------
 # layers
 
 
@@ -212,6 +287,7 @@ def _layer(p, x, emb, cfg: DiTConfig, attn_impl):
     if cfg.qk_ln:
         q = layer_norm(q, p["q_ln_w"], p["q_ln_b"], 1e-6)
         k = layer_norm(k, p["k_ln_w"], p["k_ln_b"], 1e-6)
+    q, k, v = _maybe_rotary(q, k, v, cfg, tl)
     attn = attention(q, k, v, impl=attn_impl).reshape(B, S, D)
     attn = _linear(p, "attn_out", attn)
     x = x + sel(t_gate_msa, gate_msa) * attn
@@ -270,6 +346,7 @@ def _layer_tp(p, x, emb, cfg: DiTConfig, attn_impl, axis: str,
     if cfg.qk_ln:
         q = layer_norm(q, p["q_ln_w"], p["q_ln_b"], 1e-6)
         k = layer_norm(k, p["k_ln_w"], p["k_ln_b"], 1e-6)
+    q, k, v = _maybe_rotary(q, k, v, cfg, tl, offset)
     if sp_axis is not None:
         from landiff_tpu.parallel.ring_attention import ring_attention_local
 
@@ -345,6 +422,7 @@ def _layer_sp(p, x, emb, cfg: DiTConfig, attn_impl, axis: str, offset):
     if cfg.qk_ln:
         q = layer_norm(q, p["q_ln_w"], p["q_ln_b"], 1e-6)
         k = layer_norm(k, p["k_ln_w"], p["k_ln_b"], 1e-6)
+    q, k, v = _maybe_rotary(q, k, v, cfg, tl, offset)
     attn = ring_attention_local(q, k, v, axis, impl=ring_impl)
     attn = _linear(p, "attn_out", attn.reshape(B, S, D))
     x = x + sel(t_gate_msa, gate_msa) * attn
@@ -372,8 +450,14 @@ def _embed_inputs(params, x, timesteps, context, cfg: DiTConfig,
     emb = emb.reshape(B, T * n, cfg.hidden_size)
     text = _linear(params, "text_proj", context.astype(dt))
     h = jnp.concatenate([text, emb], axis=1)
-    pos = jnp.asarray(pos_embed_table(cfg), dt)
-    h = h + pos[None, : h.shape[1]]
+    if cfg.pos_embed != "rotary3d":
+        pos = jnp.asarray(pos_embed_table(cfg), dt)
+        h = h + pos[None, : h.shape[1]]
+    # rotary3d: NO additive table — the reference mixin's
+    # position_embedding_forward returns None unconditionally
+    # (dit_video_concat.py:349-350); its learnable zeros `pos_embedding`
+    # parameter (:336-341) exists in checkpoints but is never added, a
+    # quirk we reproduce (see init)
 
     t_emb = timestep_embedding(timesteps, cfg.hidden_size, dtype=dt)
     e = _linear(params["time_mlp"], "fc0", t_emb)
@@ -730,6 +814,17 @@ def init(key, cfg: DiTConfig, *, control: bool = False, dtype=jnp.float32):
         },
         "layers": [_init_layer(next(ks), cfg, control, dtype)
                    for _ in range(n_layers)],
+        # rotary3d + learnable_pos_embed: the reference creates a zeros
+        # (1, S, D) nn.Parameter (dit_video_concat.py:336-341) that its
+        # position_embedding_forward never adds (:349-350) — a DEAD
+        # checkpoint key; created here only so converted checkpoints map
+        # 1:1, never read by any forward
+        **({"pos_embedding": jnp.zeros(
+            (1, cfg.text_length + cfg.latent_frames
+             * (cfg.latent_height // P) * (cfg.latent_width // P), D),
+            dtype)}
+           if cfg.pos_embed == "rotary3d" and cfg.learnable_pos_embed
+           else {}),
         "final_ln_w": jnp.ones((D,), dtype),
         "final_ln_b": jnp.zeros((D,), dtype),
         # the control net has EmptyFinalLayerMixin (dit_video_concat.py:
