@@ -178,11 +178,17 @@ def decode_first_stage_cp(vae_params, latents, vae_cfg: VAEConfig, mesh, *,
 
 
 def encode_first_stage(vae_params, video, vae_cfg: VAEConfig, *, key=None,
-                       compute_dtype=jnp.bfloat16):
+                       compute_dtype=jnp.bfloat16, streaming=False):
     """video (B, 3, T, H, W) in [-1,1] -> latents (B, T', z, H/8, W/8)
-    scaled (diffusion_video.py:232-253)."""
-    moments = vae_lib.encode(vae_params["encoder"], video, vae_cfg,
-                             compute_dtype=compute_dtype)
+    scaled (diffusion_video.py:232-253).
+
+    streaming=True: chunked encode with conv-cache carry (required at
+    49f/480p on a 16 GB chip — the full graph needs 22.7 GB of HLO temps,
+    measured; see vae.encode_streaming). Not jittable as a whole (drives
+    per-chunk programs), so call it OUTSIDE jit."""
+    enc = (vae_lib.encode_streaming if streaming else vae_lib.encode)
+    moments = enc(vae_params["encoder"], video, vae_cfg,
+                  compute_dtype=compute_dtype)
     z = vae_lib.sample_posterior(moments, key)
     return (vae_cfg.scale_factor * z).transpose(0, 2, 1, 3, 4)
 

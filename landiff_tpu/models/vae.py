@@ -209,23 +209,32 @@ def resblock3d(p, x, zq, cache, path, updates, stream):
 # encoder / decoder
 
 
-def encode(params, x, cfg: VAEConfig, compute_dtype=jnp.bfloat16):
-    """x: (B, C=3, T, H, W) in [-1, 1] -> moments (B, 2*z, T', H/8, W/8)."""
+def encode(params, x, cfg: VAEConfig, compute_dtype=jnp.bfloat16, *,
+           cache=None, stream=False):
+    """x: (B, C=3, T, H, W) in [-1, 1] -> moments (B, 2*z, T', H/8, W/8).
+
+    cache/stream: causal-conv tail carry for chunked encode (see
+    encode_streaming) — the encoder's temporal convs are the only
+    cross-chunk state (DownSample3D's temporal pooling never crosses a
+    chunk boundary when chunk lengths are multiples of the temporal
+    compression factor). Returns (moments, new_cache) when stream=True."""
     x = x.transpose(0, 2, 3, 4, 1).astype(compute_dtype)  # NTHWC
     upd = {}
-    h = causal_conv3d(params["conv_in"], x, None, "in", upd, False)
+    h = causal_conv3d(params["conv_in"], x, cache, "in", upd, stream)
     n_res = len(cfg.ch_mult)
     for i, level in enumerate(params["down"]):
-        for blk in level["blocks"]:
-            h = resblock3d(blk, h, None, None, "", upd, False)
+        for j, blk in enumerate(level["blocks"]):
+            h = resblock3d(blk, h, None, cache, f"d{i}.{j}", upd, stream)
         if i != n_res - 1:
             h = downsample3d(level["down"], h,
                              compress_time=i < cfg.temporal_compress_level)
-    h = resblock3d(params["mid1"], h, None, None, "", upd, False)
-    h = resblock3d(params["mid2"], h, None, None, "", upd, False)
+    h = resblock3d(params["mid1"], h, None, cache, "m1", upd, stream)
+    h = resblock3d(params["mid2"], h, None, cache, "m2", upd, stream)
     h = _gn(params, "norm_out", h)
-    h = causal_conv3d(params["conv_out"], _swish(h), None, "out", upd, False)
-    return h.transpose(0, 4, 1, 2, 3)  # back to NCTHW
+    h = causal_conv3d(params["conv_out"], _swish(h), cache, "out", upd,
+                      stream)
+    h = h.transpose(0, 4, 1, 2, 3)  # back to NCTHW
+    return (h, upd) if stream else h
 
 
 def decode(params, z, cfg: VAEConfig, *, cache=None, stream=False,
@@ -329,6 +338,69 @@ def decode_streaming(params, z, cfg: VAEConfig, compute_dtype=jnp.bfloat16,
             out = np.asarray(out)
         outs.append(out)
     return jnp.concatenate([jnp.asarray(o) for o in outs], axis=2)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"),
+                   donate_argnums=(3,))
+def _encode_jit(params, x, cfg, cache, compute_dtype):
+    return encode(params, x, cfg, compute_dtype, cache=cache, stream=True)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def _encode_jit_final(params, x, cfg, cache, compute_dtype):
+    # last chunk emits no cache -> nothing to alias a donated input with
+    # (same reasoning as _decode_jit_final)
+    return encode(params, x, cfg, compute_dtype, cache=cache, stream=False)
+
+
+def encode_streaming(params, x, cfg: VAEConfig, compute_dtype=jnp.bfloat16,
+                     first_chunk: int | None = None):
+    """Serial chunked encode with conv-cache carry — the TPU-side answer to
+    the reference's whole-clip encoder (cp_enc_dec.py:785-909), which fits
+    an 80 GB A100 but needs 22.7 GB of HLO temps at 49f/480p (measured) on
+    a 16 GB v5e. Chunk layout mirrors the causal temporal structure: the
+    first chunk holds 1 + tf*k frames (odd T at every pooling level -> the
+    first-frame pass-through matches the full computation), later chunks
+    are multiples of tf = 2**temporal_compress_level so DownSample3D's
+    pair-pooling never crosses a chunk boundary. Conv tails carry via the
+    causal_conv3d cache (donated between chunks); per-chunk GroupNorm
+    statistics are the same approximation the reference's chunked DECODE
+    already accepts (dif_infer.py:245-271).
+
+    LANDIFF_VAE_ENC_CHUNK: tail-chunk frames (default 8; must be a
+    multiple of tf). Default peak activation is (9, H, W, ch) per program
+    (~0.8 GB at 480p) vs (T, H, W, ch) for the full graph."""
+    import os
+
+    tf = 2 ** cfg.temporal_compress_level
+    T = x.shape[2]
+    tail = int(os.environ.get("LANDIFF_VAE_ENC_CHUNK", "8"))
+    if tail % tf:
+        raise ValueError(f"LANDIFF_VAE_ENC_CHUNK={tail} not a multiple of "
+                         f"the temporal compression factor {tf}")
+    if first_chunk is None:
+        first_chunk = 1 + tail
+    if (first_chunk - 1) % tf:
+        raise ValueError(f"first_chunk={first_chunk} must be 1 + k*{tf}")
+    if (T - 1) % tf:
+        raise ValueError(f"T={T} is not 1 + k*{tf} — not a valid causal "
+                         "VAE frame count")
+    chunks = [(0, min(first_chunk, T))]
+    t = chunks[0][1]
+    while t < T:
+        chunks.append((t, min(t + tail, T)))
+        t += tail
+    outs = []
+    cache = None
+    for ci, (a, b) in enumerate(chunks):
+        if ci == len(chunks) - 1:
+            out = _encode_jit_final(params, x[:, :, a:b], cfg, cache,
+                                    compute_dtype)
+        else:
+            out, cache = _encode_jit(params, x[:, :, a:b], cfg, cache,
+                                     compute_dtype)
+        outs.append(out)
+    return jnp.concatenate(outs, axis=2)
 
 
 def sample_posterior(moments, key=None):

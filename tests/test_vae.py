@@ -104,3 +104,86 @@ def test_nearest_resize_matches_torch():
     want = torch.nn.functional.interpolate(xt, size=(6, 8, 10), mode="nearest")
     np.testing.assert_allclose(np.asarray(got).transpose(0, 4, 1, 2, 3),
                                want.numpy(), atol=0)
+
+
+def test_encode_streaming_cache_mechanics():
+    """Chunked encode with conv-cache carry: the driver's output must equal
+    a manual chunked encode (cache threaded), each later chunk must SEE the
+    previous chunk's conv tails (dropping the cache changes the result),
+    and latent counts must match the full encode. Per-chunk GroupNorm
+    statistics are the same approximation the reference's chunked decode
+    accepts, so full-vs-streaming is compared as high correlation, not
+    exact equality."""
+    params = vae.init(jax.random.PRNGKey(0), CFG)
+    # tf = 2 (tcl=1): first chunk 3 = 1+2, tails of 2
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 9, 16, 16))
+
+    got = vae.encode_streaming(params["encoder"], x, CFG,
+                               compute_dtype=jnp.float32, first_chunk=3)
+
+    m_a, cache = vae.encode(params["encoder"], x[:, :, :3], CFG,
+                            compute_dtype=jnp.float32, stream=True)
+    outs = [m_a]
+    for a in (3, 5, 7):
+        m, cache = vae.encode(params["encoder"], x[:, :, a:a + 2], CFG,
+                              compute_dtype=jnp.float32, cache=cache,
+                              stream=True)
+        outs.append(m)
+    want = np.concatenate([np.asarray(o) for o in outs], axis=2)
+    # driver's tail chunks default to LANDIFF_VAE_ENC_CHUNK=8 > remaining
+    # frames, so re-run with matching manual chunking via env
+    import os
+
+    os.environ["LANDIFF_VAE_ENC_CHUNK"] = "2"
+    try:
+        got = vae.encode_streaming(params["encoder"], x, CFG,
+                                   compute_dtype=jnp.float32, first_chunk=3)
+    finally:
+        del os.environ["LANDIFF_VAE_ENC_CHUNK"]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+    # cache actually matters: chunk 2 without it (replicate-pad) differs
+    m_nocache = vae.encode(params["encoder"], x[:, :, 3:5], CFG,
+                           compute_dtype=jnp.float32)
+    assert np.abs(np.asarray(m_nocache) - np.asarray(outs[1])).max() > 1e-4
+
+    # full-graph encode: same shape, high agreement. GN stats differ per
+    # chunk; at this tiny 16x16 spatial size the per-group sample count is
+    # ~100x smaller than production 480p, so the drift bound here is loose
+    # (0.976 measured at random init) — production-scale agreement is what
+    # the reference's own chunked decode accepts
+    full = vae.encode(params["encoder"], x, CFG, compute_dtype=jnp.float32)
+    assert full.shape == got.shape
+    corr = np.corrcoef(np.asarray(full).ravel(), np.asarray(got).ravel())[0, 1]
+    assert corr > 0.95, corr
+
+
+def test_encode_streaming_validates_chunking():
+    params = vae.init(jax.random.PRNGKey(0), CFG)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 9, 16, 16))
+    import pytest
+
+    with pytest.raises(ValueError):  # first chunk not 1 + k*tf
+        vae.encode_streaming(params["encoder"], x, CFG,
+                             compute_dtype=jnp.float32, first_chunk=2)
+    with pytest.raises(ValueError):  # T not 1 + k*tf
+        vae.encode_streaming(params["encoder"], x[:, :, :8], CFG,
+                             compute_dtype=jnp.float32)
+
+
+def test_encode_first_stage_streaming_matches_itself():
+    """engine.encode_first_stage(streaming=True) == manual scale+transpose
+    of vae.encode_streaming (mode posterior)."""
+    from landiff_tpu.diffusion import engine
+
+    params = {"encoder": vae.init(jax.random.PRNGKey(0), CFG)["encoder"]}
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 3, 5, 16, 16))
+    got = engine.encode_first_stage(params, x, CFG,
+                                    compute_dtype=jnp.float32,
+                                    streaming=True)
+    moments = vae.encode_streaming(params["encoder"], x, CFG,
+                                   compute_dtype=jnp.float32)
+    want = (CFG.scale_factor
+            * vae.sample_posterior(moments)).transpose(0, 2, 1, 3, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6,
+                               atol=1e-6)
