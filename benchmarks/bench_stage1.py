@@ -24,7 +24,13 @@ def main():
     cfg = LLMConfig()
     dt = jnp.bfloat16
     params = lm.init(jax.random.PRNGKey(0), cfg, t5_dim=4096, dtype=dt)
-    if os.environ.get("LANDIFF_DECODE_INT8") == "1":
+    if os.environ.get("LANDIFF_DECODE_INT4") == "1":
+        from landiff_tpu.models import gpt as gpt_lib
+
+        params = dict(params)
+        params["gpt"] = gpt_lib.quantize_int4(params["gpt"])
+        print("# int4 weight-only GPT decode (group=128)", flush=True)
+    elif os.environ.get("LANDIFF_DECODE_INT8") == "1":
         from landiff_tpu.models import gpt as gpt_lib
 
         params = dict(params)

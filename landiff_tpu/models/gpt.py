@@ -52,10 +52,33 @@ class KVCache(NamedTuple):
 
 
 def _dot(x, w):
-    """x @ w for a plain weight or an int8 weight-only-quantized
-    {"q": int8 (in, out), "s": (out,)} leaf (w ~= q * s; the per-output
-    scale commutes with the matmul, so HBM reads stay int8)."""
+    """x @ w for a plain weight or a weight-only-quantized leaf.
+
+    int8 leaf: {"q": int8 (in, out), "s": (out,)} — w ~= q * s; the
+    per-output scale commutes with the matmul, so HBM reads stay int8.
+    int4 leaf: {"q4": int8 nibble-packed (in, out/2), "s": (G, out)}
+    with G input groups of g = in/G rows each (GPTQ/AWQ-style group-wise
+    absmax). The 4-bit values live as packed int8 at the jit boundary —
+    an int4-dtype argument trips a relayout recursion in the axon PJRT
+    plugin — and are bitcast to int4 INSIDE the program (little-endian:
+    byte j -> [col 2j, col 2j+1]), so HBM weight reads stay 4-bit. The
+    group scale does NOT commute with the full matmul, so the
+    contraction runs per group and the (…, G, out) partials are scaled
+    then summed — XLA fuses the int4→bf16 convert into the dot operand
+    load (like int8) and the reduce into the scale multiply. Dispatch is
+    on the "q4" key: dict keys are static pytree structure under jit
+    (a string tag leaf would not be)."""
     if isinstance(w, dict):
+        if "q4" in w:
+            p, s = w["q4"], w["s"]
+            I = p.shape[0]
+            q = jax.lax.bitcast_convert_type(p, jnp.int4).reshape(I, -1)
+            G, O = s.shape
+            g = I // G
+            xg = x.reshape(x.shape[:-1] + (G, g))
+            part = jnp.einsum("...gi,gio->...go", xg,
+                              q.reshape(G, g, O).astype(x.dtype))
+            return (part * s.astype(x.dtype)).sum(-2)
         return (x @ w["q"].astype(x.dtype)) * w["s"].astype(x.dtype)
     return x @ w.astype(x.dtype)
 
@@ -221,6 +244,41 @@ def quantize_int8(params):
         s = jnp.maximum(s, 1e-8)
         q = jnp.clip(jnp.round(a / s), -127, 127).astype(jnp.int8)
         return {"q": q, "s": s.astype(jnp.bfloat16)}
+
+    out = dict(params)
+    out["blocks"] = [
+        {k: (quant(v) if k in ("wqkv", "wo", "w1", "w2", "w3") else v)
+         for k, v in blk.items()}
+        for blk in params["blocks"]]
+    return out
+
+
+def quantize_int4(params, group: int = 128):
+    """Weight-only int4 quantization of the block linears, group-wise
+    absmax scales over `group` input rows per output channel (the
+    GPTQ/AWQ layout; 4-bit needs finer scale granularity than int8's
+    per-output-channel). Decode at batch<=2 is weights-bandwidth bound
+    (PARITY.md), so int4 halves the int8 HBM bytes/step again. Opt-in
+    via LANDIFF_DECODE_INT4 behind its own drift gate
+    (tests/test_gpt.py) — NOT part of LANDIFF_FAST unless the measured
+    drift clears the same bars as int8. Single-chip only for now: the
+    TP sharding rules map int8's (out,) scales, not (G, out).
+
+    Storage is nibble-packed int8 (see _dot): int4-dtype arrays cannot
+    cross the jit/device boundary on the axon PJRT plugin (observed
+    relayout RecursionError), so byte j of q4 holds columns 2j (low
+    nibble) and 2j+1 (high), matching lax.bitcast_convert_type's
+    little-endian int8→int4 order."""
+    def quant(w):
+        a = jnp.asarray(w, jnp.float32)
+        I, O = a.shape
+        g = group if I % group == 0 else I
+        ag = a.reshape(I // g, g, O)
+        s = jnp.maximum(jnp.max(jnp.abs(ag), axis=1) / 7.0, 1e-8)
+        q = jnp.clip(jnp.round(ag / s[:, None, :]),
+                     -7, 7).reshape(I, O).astype(jnp.int8)
+        packed = ((q[:, 1::2] << 4) | (q[:, 0::2] & 0x0F)).astype(jnp.int8)
+        return {"q4": packed, "s": s.astype(jnp.bfloat16)}
 
     out = dict(params)
     out["blocks"] = [

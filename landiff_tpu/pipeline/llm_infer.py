@@ -45,21 +45,32 @@ class ArModelInferWrapper:
                  compute_dtype=jnp.bfloat16,
                  require_real_tokenizer: bool = False,
                  int8_decode: bool | None = None,
+                 int4_decode: bool | None = None,
                  mesh=None):
         import os
 
-        if int8_decode is None:
-            from landiff_tpu.utils import env_flag
+        from landiff_tpu.utils import env_flag
 
+        if int8_decode is None:
             int8_decode = env_flag("LANDIFF_DECODE_INT8")
-        if int8_decode:
-            # weight-only int8 GPT: decode is weights-bandwidth bound, so
-            # halving HBM bytes/step nearly halves stage-1 latency
+        if int4_decode is None:
+            int4_decode = env_flag("LANDIFF_DECODE_INT4")
+        if int4_decode and mesh is not None and \
+                mesh.shape.get("model", 1) > 1:
+            # TP rules map int8's (out,) scales, not int4's (G, out)
+            logger.warning("LANDIFF_DECODE_INT4 ignored under TP mesh")
+            int4_decode = False
+        if int8_decode or int4_decode:
+            # weight-only quantized GPT: decode is weights-bandwidth
+            # bound, so halving (int8) / quartering (int4, group-wise
+            # scales) the HBM bytes/step cuts stage-1 latency nearly
+            # proportionally. int4 wins if both are set.
             from landiff_tpu.models import gpt as gpt_lib
 
             params = dict(params)
             lm_p = dict(params["lm"])
-            lm_p["gpt"] = gpt_lib.quantize_int8(lm_p["gpt"])
+            lm_p["gpt"] = (gpt_lib.quantize_int4(lm_p["gpt"]) if int4_decode
+                           else gpt_lib.quantize_int8(lm_p["gpt"]))
             params["lm"] = lm_p
         if mesh is not None and mesh.shape.get("model", 1) > 1:
             # TP-shard the GPT over `model` (GSPMD through the jitted

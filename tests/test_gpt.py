@@ -142,3 +142,70 @@ def test_int8_quantized_decode_close_to_full():
                                rtol=0.15, atol=0.05)
     assert np.corrcoef(np.asarray(lq2).ravel(),
                        np.asarray(lf2).ravel())[0, 1] > 0.99
+
+def test_int4_quantized_decode_close_to_full():
+    """Weight-only int4 decode (gpt.quantize_int4): group-wise absmax
+    scales (g=128 input rows, GPTQ/AWQ layout) keep single-step logits
+    close to full precision; the grouped _dot contraction is exact vs an
+    explicit dequantize-then-matmul oracle."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from landiff_tpu.config import tiny_test_config
+    from landiff_tpu.models import gpt
+    from landiff_tpu.ops.rope import rope_1d_table
+
+    cfg = tiny_test_config().llm
+    params = gpt.init(jax.random.PRNGKey(0), cfg)
+    qparams = gpt.quantize_int4(params, group=8)
+    qblk = qparams["blocks"][0]["wqkv"]
+    # nibble-packed int8 storage (int4 can't cross the axon jit boundary)
+    assert qblk["q4"].dtype == jnp.int8
+    G, O = qblk["s"].shape
+    I = qblk["q4"].shape[0]
+    assert qblk["q4"].shape == (I, O // 2)
+    assert I % G == 0 and I // G == 8
+
+    # unpack nibbles on host: byte j -> [col 2j (low), col 2j+1 (high)],
+    # arithmetic shifts recover the signed int4 values
+    p = np.asarray(qblk["q4"], np.int8)
+    qint = np.empty((I, O), np.float32)
+    qint[:, 0::2] = (p.astype(np.int8) << 4 >> 4).astype(np.float32)
+    qint[:, 1::2] = (p >> 4).astype(np.float32)
+
+    # grouped _dot == dequantize-then-matmul, exactly (f32 path)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 3, I), jnp.float32)
+    deq = (qint.reshape(G, I // G, O)
+           * np.asarray(qblk["s"], np.float32)[:, None, :]).reshape(I, O)
+    got = np.asarray(gpt._dot(x, qblk))
+    want = np.asarray(x) @ deq
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    # quantization error bounded by half an int4 step per group, plus
+    # the bf16 scale rounding (|q| <= 7 amplifies it to 7*s*2^-8)
+    blk = params["blocks"][0]
+    err = np.abs(deq - np.asarray(blk["wqkv"])).reshape(G, I // G, O)
+    step = np.asarray(qblk["s"], np.float32)[:, None, :]
+    assert (err <= (0.5 + 7 / 256) * step + 1e-6).all()
+
+    cos_t, sin_t = rope_1d_table(cfg.rope)
+    S = 7
+    cos, sin = jnp.asarray(cos_t[:S]), jnp.asarray(sin_t[:S])
+    feats = jax.random.normal(jax.random.PRNGKey(1),
+                              (1, S, cfg.hidden_size), jnp.float32) * 0.3
+    cache_f = gpt.KVCache.create(cfg, 1, S, jnp.float32)
+    cache_q = gpt.KVCache.create(cfg, 1, S, jnp.float32)
+    _, cache_f = gpt.prefill(params, feats[:, :-1], cache_f, cfg,
+                             cos[:-1], sin[:-1], compute_dtype=jnp.float32)
+    _, cache_q = gpt.prefill(qparams, feats[:, :-1], cache_q, cfg,
+                             cos[:-1], sin[:-1], compute_dtype=jnp.float32)
+    lf2, _ = gpt.decode_step(params, feats[:, -1:], cache_f, S - 1, cfg,
+                             cos[-1:], sin[-1:], compute_dtype=jnp.float32)
+    lq2, _ = gpt.decode_step(qparams, feats[:, -1:], cache_q, S - 1, cfg,
+                             cos[-1:], sin[-1:], compute_dtype=jnp.float32)
+    # 4-bit on the tiny random-weight model: ~7% relative error per
+    # linear (uniform quant noise rms s/sqrt(12) vs weight rms ~4s), so
+    # only a loose sanity bar here — production-scale drift is measured
+    # on hardware before any adoption decision (PARITY.md)
+    assert np.corrcoef(np.asarray(lq2).ravel(),
+                       np.asarray(lf2).ravel())[0, 1] > 0.9
