@@ -171,7 +171,14 @@ def sdedit_edm_sample(denoise_fn: Callable, image, randn, sigmas, *,
 
 def ddim_sample(denoise_fn: Callable, x, sigmas, *, key=None,
                 s_noise: float = 0.1):
-    """DDIMSampler (sampling.py:138-174): stochastic DDIM in sigma space."""
+    """DDIMSampler (sampling.py:138-174): stochastic DDIM in sigma space.
+
+    Latent reference bug (pinned by the direct-execution oracle): the
+    reference class is unrunnable as shipped — sampler_step calls
+    self.possible_correction_step (sampling.py:153) which only the
+    EDMSampler subclasses define, so any call raises AttributeError. This
+    port implements the evident intent (identity correction, as in
+    EulerEDMSampler)."""
     x, sig, n = _prep(x, sigmas)
     if key is None:
         key = jax.random.PRNGKey(0)
