@@ -180,14 +180,19 @@ def bench_mesh():
        matches the unsharded engine step.
     2. Collectives: count the all-reduces in the compiled sharded HLO
        (tp_infer.count_hlo_collectives) instead of assuming 2/layer.
-    3. Projection: measured single-chip step time (LANDIFF_BENCH_SINGLE_MS,
-       default = the recorded single-chip bench; the attention part can be
-       replaced by the TP-shape microbench via LANDIFF_BENCH_TP_ATTN_MS,
-       benchmarks/bench_attention.py at H=8) / 8 compute + the counted
-       all-reduces costed at a ring model:
+    3. Projection: since r4 the per-chip COMPUTE is measured directly —
+       benchmarks/bench_tp_shard_step.py runs the complete per-device
+       program of the data=2 x model=4 layout (one CFG row, one model
+       shard of the tp-prepped weights, psums over a size-1 axis) on one
+       real chip: LANDIFF_BENCH_TPSHARD_MS, default 582.6 ms. The counted
+       all-reduces are added at a ring model:
          cost = 2*(n-1)/n * bytes / BW_ici, BW_ici ~ 90 GB/s effective.
-       Multi-chip hardware is not available in this environment; the
-       program itself is validated above, only the ICI time is modeled.
+       Fallbacks when LANDIFF_BENCH_TPSHARD_MS is set empty: the r3
+       decomposition (measured TP-shape attention via
+       LANDIFF_BENCH_TP_ATTN_MS + ideal-/8 rest), then pure ideal-/8 of
+       LANDIFF_BENCH_SINGLE_MS. Multi-chip hardware is not available in
+       this environment; the program itself is validated above, only the
+       ICI time is modeled.
     """
     import subprocess
     import sys
@@ -304,6 +309,23 @@ def bench_mesh():
     tp_attn_ms = os.environ.get("LANDIFF_BENCH_TP_ATTN_MS", "11.69")
     single_attn_ms = float(os.environ.get("LANDIFF_BENCH_SINGLE_ATTN_MS",
                                           "3594.0"))
+    #   tpshard_ms 582.6 = the COMPLETE per-chip program of the
+    #     data=2,model=4 layout measured on one v5e (r4,
+    #     benchmarks/bench_tp_shard_step.py: B_local=1 CFG row, one model
+    #     shard of the tp-prepped weights — 8 of 32 padded heads, mlp/4 —
+    #     psum over a size-1 axis so no wire time; depth-8 fori_loop chain,
+    #     runs 0.583/0.583/0.583 s). Replaces the r3 decomposition
+    #     (45 x 11.69 attention + ideal-/8 rest = 632 ms): the measured
+    #     whole is ~8% SMALLER than the decomposed model — the
+    #     subtraction-derived "rest" bucket (single 4441 - probe 3594)
+    #     over-charged the shard shape, where B_local=1 elementwise work
+    #     fuses tighter than (single - attn)/8 predicts. W8A8 int8 linears
+    #     (LANDIFF_DIT_INT8=1) measure 679.6 ms at this shard shape —
+    #     SLOWER than bf16: the per-token quantize/rescale VPU work stops
+    #     amortizing once each chip's matmul tiles shrink 4x, so the
+    #     LANDIFF_FAST W8A8 component is a single-chip-only win (-4.1%)
+    #     and must stay OFF under the TP mesh (see DEPLOYMENT.md).
+    tpshard_ms = os.environ.get("LANDIFF_BENCH_TPSHARD_MS", "582.6")
     n_chips, tp = 8, 4
     S = full.text_length + full.latent_frames \
         * (full.latent_height // full.patch_size) \
@@ -318,11 +340,16 @@ def bench_mesh():
     per_layer_ar = counts["all_reduce"] / (cfg.dit.num_layers
                                            + cfg.dit.control_layers)
     coll_ms = per_layer_ar * layers * ar_ms
-    if tp_attn_ms is not None:
-        # measured per-chip attention at the TP shard shape (B=1 CFG row,
-        # H=8 padded heads, S full): LANDIFF_BENCH_TP_ATTN_MS is ms per
-        # layer-call; 45 layer-calls per CFG step (30 main + 15 control).
-        # Everything else (linears 82 TFLOP/s, PARITY.md) scales ~ideally.
+    if tpshard_ms:
+        # the whole per-chip program measured at the true shard shape —
+        # no scaling assumption left on the compute side.
+        projected = float(tpshard_ms) + coll_ms
+        attn_src = "measured_full_per_chip_shard_program"
+    elif tp_attn_ms:
+        # r3 decomposition: measured per-chip attention at the TP shard
+        # shape (B=1 CFG row, H=8 padded heads, S full),
+        # LANDIFF_BENCH_TP_ATTN_MS ms per layer-call x 45 layer-calls
+        # (30 main + 15 control); everything else assumed ideal-/8.
         rest = single_ms - single_attn_ms
         projected = rest / n_chips + float(tp_attn_ms) * layers + coll_ms
         attn_src = "measured_tp_shape_per_call"
@@ -351,6 +378,8 @@ def bench_mesh():
         "vs_baseline": round(A100_REF_STEP_MS / projected, 3),
         "baseline_kind": "estimate_a100_35pct_mfu",
         "model": {"single_chip_ms": single_ms, "mesh": "data=2 model=4",
+                  "per_chip_compute_ms_measured":
+                      float(tpshard_ms) if tpshard_ms else None,
                   "collective_ms": round(coll_ms, 1),
                   "allreduce_per_layer_counted": per_layer_ar,
                   "hlo_collectives_tiny_program": counts,
