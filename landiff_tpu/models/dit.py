@@ -394,9 +394,10 @@ def _layer_sp(p, x, emb, cfg: DiTConfig, attn_impl, axis: str, offset):
     This is the DiT scaling mode the head count can't cap: tp over heads
     stops at 30 (padded 32), while S = 17776 splits over 8/16/32 chips
     exactly. int8 (W8A8) layer params from dit.quantize_int8 work
-    unchanged — per-token activation scales are local rows. Ring hops pin
-    exact-f32 scores (the lse-returning kernel path), so int8-SCORES
-    attention is unavailable under SP."""
+    unchanged — per-token activation scales are local rows. Inference ring
+    hops follow the single-chip int8-scores default (ring_attention_diff's
+    PRIMAL path, opt-out LANDIFF_ATTN_INT8=0); only the DIFFERENTIATED
+    (training) ring pins exact-f32 hops."""
     B, S, D = x.shape
     tl = cfg.text_length
     H, Dk = cfg.num_heads, cfg.head_dim
