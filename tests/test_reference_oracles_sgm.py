@@ -18,9 +18,11 @@ reference modules import and execute from /root/reference:
 
 Everything below asserts our JAX implementations against the reference's
 real forward passes (weights mapped through ckpt/convert where the module
-has weights). The DiT stays transcription-tested: its behavior lives in
-the external SwissArmyTransformer library, which isn't vendored — a sat
-stub would be our own transcription again, proving nothing.
+has weights). The DiT has its own direct oracle since r4
+(tests/test_reference_oracle_dit.py): all LanDiff-specific DiT math lives
+in the reference's mixins and executes verbatim on a minimal SAT glue
+skeleton (tests/_sat_stub.py) whose structure is pinned by the released
+checkpoint's key inventory.
 
 Trajectory oracles use the deterministic samplers (VideoDDIM, VPODE);
 VPSDE's torch.randn_like draws can't be replicated from a jax PRNG, so its
