@@ -255,6 +255,54 @@ def test_control_warp_forward_matches_reference():
     assert np.abs(got_nc - want).max() > 1e-3
 
 
+def test_rotary3d_dit_forward_matches_reference():
+    """Rotary3DPositionEmbeddingMixin variant (dit_video_concat.py:275-385)
+    executing verbatim: pos_embed registers its plain attention_fn FIRST,
+    then AdaLNMixin's @non_conflict attention_fn chains it as old_impl —
+    so qk-LN applies BEFORE the video-slice rotation, exactly the order
+    models/dit.py implements. position_embedding_forward returns None (no
+    additive table). head_dim must be divisible by 8 (t:D/4, h/w:3D/8
+    pairwise-interleaved splits) -> 64/4 heads here."""
+    D2, HEADS2, L2 = 64, 4, 2
+    cfg = DiTConfig(num_layers=L2, control_layers=1, hidden_size=D2,
+                    num_heads=HEADS2, patch_size=P, in_channels=C,
+                    out_channels=C, latent_frames=T_LAT, latent_height=H,
+                    latent_width=W, text_dim=TXT, text_length=TL,
+                    time_embed_dim=TE, qk_ln=True, pos_embed="rotary3d",
+                    rope_theta=10000.0, rot_v=False)
+    mods = _modules("AdaLNMixin", {"qk_ln": True}, "FinalLayerMixin")
+    mods["pos_embed_config"] = {
+        "target": "landiff.diffusion.dit_video_concat."
+                  "Rotary3DPositionEmbeddingMixin",
+        "params": {"text_length": TL, "hidden_size_head": D2 // HEADS2,
+                   "theta": 10000, "rot_v": False,
+                   "learnable_pos_embed": False},
+    }
+    main = dvc.DiffusionTransformer(
+        transformer_args=_tf_args(), num_frames=NUM_FRAMES,
+        time_compressed_rate=RATE, latent_width=W, latent_height=H,
+        patch_size=P, in_channels=C, out_channels=C, hidden_size=D2,
+        num_layers=L2, num_attention_heads=HEADS2,
+        elementwise_affine=True, time_embed_dim=TE, modules=mods)
+    _randomize(main, 7)
+    main.eval()
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, T_LAT, C, H, W)).astype(np.float32)
+    t = np.array([299.0, 701.0], np.float32)
+    ctx = rng.standard_normal((2, TL, TXT)).astype(np.float32)
+    with torch.no_grad():
+        want = main(torch.from_numpy(x), timesteps=torch.from_numpy(t),
+                    context=torch.from_numpy(ctx)).numpy()
+
+    params = jax.tree.map(jnp.asarray,
+                          convert.convert_dit(_np_sd(main), L2))
+    got = np.asarray(dit_lib.forward(
+        params, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx), cfg,
+        attn_impl="xla", compute_dtype=jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
 def test_control_mlp_adapter_matches_reference():
     """ControlMLPAdapter (dit_video_concat.py:1030-1161) — the lighter
     sat-free control alternative: patch embed (+text proj), per-layer
