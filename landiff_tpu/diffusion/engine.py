@@ -125,10 +125,20 @@ def _denoise_fn_for(dit_cfg: DiTConfig, compute_dtype, attn_impl):
 
 def sample_latents(denoise_fn, sampler_cfg: SamplerConfig, dit_cfg: DiTConfig,
                    *, key, bundle=None, batch_size=1, prefix=None,
-                   sdedit=False, max_steps_per_call: int | None = None):
+                   sdedit=False, max_steps_per_call: int | None = None,
+                   reuse_every: int | None = None):
     """Engine.sample (diffusion_video.py:255-315): randn latents (optionally
     prefix-spliced) -> DPM++2M loop. Returns (B, T, C, H, W) fp32.
-    `bundle` is the params pytree from make_denoise_fn."""
+    `bundle` is the params pytree from make_denoise_fn.
+
+    `reuse_every` (default: env LANDIFF_STEP_REUSE, off): cross-step model-
+    output reuse — a quality-affecting opt-in serving accelerator; see
+    samplers.vpsde_dpmpp2m_sample. Applies to every pipeline (single-chip,
+    TP, SP, long-video) since they all sample through this function."""
+    import os
+
+    if reuse_every is None:
+        reuse_every = int(os.environ.get("LANDIFF_STEP_REUSE", "0") or 0)
     k_noise, k_samp = jax.random.split(key)
     shape = (batch_size, dit_cfg.latent_frames, dit_cfg.in_channels,
              dit_cfg.latent_height, dit_cfg.latent_width)
@@ -140,7 +150,8 @@ def sample_latents(denoise_fn, sampler_cfg: SamplerConfig, dit_cfg: DiTConfig,
     return samplers.vpsde_dpmpp2m_sample(denoise_fn, x, sampler_cfg,
                                          key=k_samp, fixed_frames=fixed,
                                          sdedit=sdedit, params=bundle,
-                                         max_steps_per_call=max_steps_per_call)
+                                         max_steps_per_call=max_steps_per_call,
+                                         reuse_every=reuse_every)
 
 
 def decode_first_stage(vae_params, latents, vae_cfg: VAEConfig, *,

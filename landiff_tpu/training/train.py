@@ -61,12 +61,29 @@ parse_mesh = mesh_lib.parse_mesh  # moved to parallel/mesh.py (shared with
 
 
 def make_optimizer(lr: float, steps: int, *, warmup: int = 100,
-                   weight_decay: float = 1e-4, clip: float = 1.0):
+                   weight_decay: float = 1e-4, clip: float = 1.0,
+                   grad_accum: int = 1):
+    """AdamW + global-norm clip + warmup-cosine; `grad_accum` k>1 wraps the
+    whole chain in optax.MultiSteps — the TPU-native equivalent of the
+    reference's DeepSpeed `gradient_accumulation_steps`
+    (diffusion/arguments.py:168-191): k micro-batch grads are averaged on
+    device and applied as ONE update every k-th step (intermediate steps
+    emit zero updates), so the effective batch is k× what fits in HBM.
+    The LR schedule counts APPLIED updates (steps // k), matching
+    DeepSpeed's semantics where scheduler.step() runs per optimizer step.
+    MultiSteps' accumulator is a param-sized tree; under the ZeRO wrapper
+    (zero_shard_opt_state's generic tree walk) it shards over `data` like
+    every other large optimizer-state leaf."""
+    if grad_accum > 1:
+        steps = max(1, steps // grad_accum)
     wu = min(warmup, max(1, steps // 10))
     sched = optax.warmup_cosine_decay_schedule(
         0.0, lr, wu, max(steps, wu + 1), lr * 0.1)
-    return optax.chain(optax.clip_by_global_norm(clip),
-                       optax.adamw(sched, weight_decay=weight_decay))
+    opt = optax.chain(optax.clip_by_global_norm(clip),
+                      optax.adamw(sched, weight_decay=weight_decay))
+    if grad_accum > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=grad_accum)
+    return opt
 
 
 # ---------------------------------------------------------------------------
@@ -238,10 +255,10 @@ def train(model: str, data_dir: str, *, steps: int = 100,
           ckpt_dir: str | None = None, save_every: int = 500,
           log_every: int = 10, metrics_path: str | None = None,
           resume: bool = False, tiny: bool = False, seed: int = 0,
-          dtype=jnp.float32):
+          dtype=jnp.float32, grad_accum: int = 1):
     cfg = tiny_test_config() if tiny else LanDiffConfig()
     mesh = mesh_lib.make_mesh(parse_mesh(mesh_spec))
-    optimizer = make_optimizer(lr, steps)
+    optimizer = make_optimizer(lr, steps, grad_accum=grad_accum)
     state, run, batch_sharding = SETUPS[model](cfg, optimizer, mesh, dtype)
     logger.info("mesh %s, %d params leaves", dict(mesh.shape),
                 len(jax.tree_util.tree_leaves(state[0])))
@@ -340,6 +357,9 @@ def main(argv=None):
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="micro-batches per optimizer update "
+                         "(DeepSpeed gradient_accumulation_steps)")
     args = ap.parse_args(argv)
 
     cfg = tiny_test_config() if args.tiny else LanDiffConfig()
@@ -350,7 +370,8 @@ def main(argv=None):
           ckpt_dir=args.ckpt_dir, save_every=args.save_every,
           log_every=args.log_every, metrics_path=args.metrics,
           resume=args.resume, tiny=args.tiny, seed=args.seed,
-          dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+          dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+          grad_accum=args.grad_accum)
 
 
 if __name__ == "__main__":
