@@ -1,0 +1,111 @@
+"""Cross-step model-output reuse (LANDIFF_STEP_REUSE) at production scale:
+time the FULL 50-step diffusion phase (BASELINE config #4 geometry —
+30L+15L ControlNet DiT, S=17776, CFG batch 2, bf16, int8-scores attention
+default) exact vs reuse_every=k in ONE process with shared random-init
+weights, and report the latent agreement between the two runs (same PRNG
+key => identical noise path, so the difference is purely the reused model
+outputs).
+
+The reuse feature is the FORA/TeaCache family of training-free DiT caches
+(quality-affecting, opt-in, OFF by default) — the reference always calls
+the network every step (sampling.py:678-837). See
+samplers.vpsde_dpmpp2m_sample and DEPLOYMENT.md.
+
+Warm passes use a 5-step schedule: with chunk=5 the chunked-scan program is
+keyed on (denoise_fn, m=5) and the per-step coefficients are traced inputs,
+so a 5-step warm compiles the exact SAME executables the 50-step timed run
+uses at a tenth of the device time.
+
+Env: LANDIFF_BENCH_SCALE (shrink the model for CPU smoke),
+     LANDIFF_BENCH_REUSE_STEPS (timed steps, default 50),
+     LANDIFF_STEP_REUSE_K (k for the reuse run, default 2).
+"""
+
+import dataclasses
+import json
+import os
+import time
+
+SCALE = float(os.environ.get("LANDIFF_BENCH_SCALE", "1"))
+
+
+def _config(num_steps):
+    from landiff_tpu.config import LanDiffConfig, tiny_test_config
+
+    if SCALE >= 1:
+        cfg = LanDiffConfig()
+    else:
+        cfg = tiny_test_config()
+    return dataclasses.replace(cfg, sampler=dataclasses.replace(
+        cfg.sampler, num_steps=num_steps))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/landiff_jax_cache")
+    from landiff_tpu.diffusion import engine
+    from landiff_tpu.models import dit as dit_lib
+    from landiff_tpu.models import semantic_cond as sc_lib
+
+    n = int(os.environ.get("LANDIFF_BENCH_REUSE_STEPS", "50"))
+    k = int(os.environ.get("LANDIFF_STEP_REUSE_K", "2"))
+    chunk = 5
+    cfg = _config(n)
+    dt = jnp.bfloat16
+    d, t = cfg.dit, cfg.tokenizer
+    n_sem = t.titok.iframe_latent_tokens + \
+        (t.titok.temporal_size - 1) * t.titok.pframe_latent_tokens
+    ctx = jax.random.normal(jax.random.PRNGKey(0),
+                            (1, d.text_length, d.text_dim), dt)
+    codes = jax.random.randint(jax.random.PRNGKey(1), (1, n_sem), 0,
+                               t.vq.codebook_size)
+    main_p = dit_lib.init(jax.random.PRNGKey(3), d, dtype=dt)
+    ctrl_p = dit_lib.init(jax.random.PRNGKey(4), d, control=True, dtype=dt)
+    sem_p = sc_lib.init(jax.random.PRNGKey(5), t, cfg.semantic_cond,
+                        dtype=dt)
+    attn = "pallas" if SCALE >= 1 else "reference"
+    denoise_fn, bundle = engine.make_denoise_fn(
+        main_p, ctrl_p, sem_p, d, cfg.sampler, t, cfg.semantic_cond,
+        ctx, jnp.zeros_like(ctx), codes, compute_dtype=dt, attn_impl=attn)
+
+    warm_cfg = _config(chunk)
+
+    def run(reuse_every, sampler_cfg, key=7):
+        lat = engine.sample_latents(
+            denoise_fn, sampler_cfg.sampler, d, key=jax.random.PRNGKey(key),
+            bundle=bundle, max_steps_per_call=chunk, reuse_every=reuse_every)
+        return np.asarray(lat, dtype=np.float32)
+
+    results = {}
+    lats = {}
+    for mode, r in (("exact", 0), (f"reuse_{k}", k)):
+        run(r, warm_cfg)  # compile the m=5 chunk program for this variant
+        t0 = time.time()
+        lats[mode] = run(r, cfg)
+        results[mode] = time.time() - t0
+
+    a, b = lats["exact"].ravel(), lats[f"reuse_{k}"].ravel()
+    corr = float(np.corrcoef(a, b)[0, 1])
+    rel = float(np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12))
+    head, tail = 3, 3
+    computed = head + tail + len(
+        [i for i in range(head, n - tail) if (i - head) % k == 0]) \
+        if n > head + tail else n
+    exact_s, reuse_s = results["exact"], results[f"reuse_{k}"]
+    print(json.dumps({
+        "metric": "diffusion_phase_step_reuse",
+        "steps": n, "reuse_every": k, "computed_steps": computed,
+        "exact_s": round(exact_s, 2), "reuse_s": round(reuse_s, 2),
+        "speedup": round(exact_s / max(reuse_s, 1e-9), 3),
+        "latent_corr_vs_exact": round(corr, 5),
+        "latent_rel_err": round(rel, 5),
+        "note": "random-init weights; corr is a mechanics-level drift "
+                "signal, not a quality claim",
+    }))
+
+
+if __name__ == "__main__":
+    main()

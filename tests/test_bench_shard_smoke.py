@@ -45,3 +45,11 @@ def test_sp_shard_step_smoke():
     out = _run("bench_sp_shard_step.py", {"LANDIFF_BENCH_SP": "2"})
     assert "per_chip" in out["metric"]
     assert out["value"] > 0
+
+
+def test_step_reuse_bench_smoke():
+    out = _run("bench_step_reuse.py", {"LANDIFF_BENCH_REUSE_STEPS": "8",
+                                       "LANDIFF_STEP_REUSE_K": "2"})
+    assert out["metric"] == "diffusion_phase_step_reuse"
+    assert out["computed_steps"] == 7  # head3 + {3,5} + tail3 on 8 steps
+    assert abs(out["latent_corr_vs_exact"]) <= 1.0
