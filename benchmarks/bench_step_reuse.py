@@ -62,10 +62,17 @@ def main():
                             (1, d.text_length, d.text_dim), dt)
     codes = jax.random.randint(jax.random.PRNGKey(1), (1, n_sem), 0,
                                t.vq.codebook_size)
+    from landiff_tpu import utils
     main_p = dit_lib.init(jax.random.PRNGKey(3), d, dtype=dt)
     ctrl_p = dit_lib.init(jax.random.PRNGKey(4), d, control=True, dtype=dt)
     sem_p = sc_lib.init(jax.random.PRNGKey(5), t, cfg.semantic_cond,
                         dtype=dt)
+    # fill adaLN/zero_linear leaves: at raw init the DiT output is
+    # INDEPENDENT of attention/MLP/control paths (CLAUDE.md vacuous-pass
+    # rule) and the drift signal would come from a degenerate denoiser
+    main_p = utils.fill_zero_leaves(main_p, jax.random.PRNGKey(13))
+    ctrl_p = utils.fill_zero_leaves(ctrl_p, jax.random.PRNGKey(14))
+    sem_p = utils.fill_zero_leaves(sem_p, jax.random.PRNGKey(15))
     attn = "pallas" if SCALE >= 1 else "reference"
     denoise_fn, bundle = engine.make_denoise_fn(
         main_p, ctrl_p, sem_p, d, cfg.sampler, t, cfg.semantic_cond,
@@ -90,10 +97,8 @@ def main():
     a, b = lats["exact"].ravel(), lats[f"reuse_{k}"].ravel()
     corr = float(np.corrcoef(a, b)[0, 1])
     rel = float(np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12))
-    head, tail = 3, 3
-    computed = head + tail + len(
-        [i for i in range(head, n - tail) if (i - head) % k == 0]) \
-        if n > head + tail else n
+    from landiff_tpu.diffusion import samplers
+    computed = int(samplers.reuse_compute_schedule(n, k).sum())
     exact_s, reuse_s = results["exact"], results[f"reuse_{k}"]
     print(json.dumps({
         "metric": "diffusion_phase_step_reuse",

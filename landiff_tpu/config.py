@@ -239,8 +239,13 @@ class DiTConfig:
 
 @dataclass(frozen=True)
 class SamplerConfig:
-    """ZeroSNR + VPSDE-DPM++2M + DynamicCFG (yaml:226-243)."""
+    """ZeroSNR + VPSDE-DPM++2M + DynamicCFG (yaml:226-243).
 
+    `name` mirrors the reference's yaml-selected sampler_config target:
+    vpsde_dpmpp2m (shipped default), vpode_dpmpp2m, video_ddim — routed in
+    engine.sample_latents."""
+
+    name: str = "vpsde_dpmpp2m"
     num_steps: int = 50
     num_train_timesteps: int = 1000
     shift_scale: float = 3.0

@@ -126,10 +126,21 @@ def _denoise_fn_for(dit_cfg: DiTConfig, compute_dtype, attn_impl):
 def sample_latents(denoise_fn, sampler_cfg: SamplerConfig, dit_cfg: DiTConfig,
                    *, key, bundle=None, batch_size=1, prefix=None,
                    sdedit=False, max_steps_per_call: int | None = None,
-                   reuse_every: int | None = None):
+                   reuse_every: int | None = None, init_noise=None):
     """Engine.sample (diffusion_video.py:255-315): randn latents (optionally
-    prefix-spliced) -> DPM++2M loop. Returns (B, T, C, H, W) fp32.
+    prefix-spliced) -> sampler loop. Returns (B, T, C, H, W) fp32.
     `bundle` is the params pytree from make_denoise_fn.
+
+    `sampler_cfg.name` selects the sampler the way the reference's yaml
+    sampler_config target does: "vpsde_dpmpp2m" (the shipped default,
+    sampling.py:678-837), "vpode_dpmpp2m" (:840-951) or "video_ddim"
+    (:538-675). The deterministic samplers close over the bundle (tiny /
+    parity use); the production serving path is VPSDE, which takes the
+    bundle as an explicit jit argument.
+
+    `init_noise`: optional (B, T, C, H, W) initial latents replacing the
+    PRNG draw — the reference `generator` seam (diffusion_video.py:262-283),
+    used for cross-framework matched-noise parity and reproducible serving.
 
     `reuse_every` (default: env LANDIFF_STEP_REUSE, off): cross-step model-
     output reuse — a quality-affecting opt-in serving accelerator; see
@@ -140,13 +151,28 @@ def sample_latents(denoise_fn, sampler_cfg: SamplerConfig, dit_cfg: DiTConfig,
     if reuse_every is None:
         reuse_every = int(os.environ.get("LANDIFF_STEP_REUSE", "0") or 0)
     k_noise, k_samp = jax.random.split(key)
-    shape = (batch_size, dit_cfg.latent_frames, dit_cfg.in_channels,
-             dit_cfg.latent_height, dit_cfg.latent_width)
-    x = jax.random.normal(k_noise, shape, jnp.float32)
+    if init_noise is not None:
+        x = jnp.asarray(init_noise, jnp.float32)
+    else:
+        shape = (batch_size, dit_cfg.latent_frames, dit_cfg.in_channels,
+                 dit_cfg.latent_height, dit_cfg.latent_width)
+        x = jax.random.normal(k_noise, shape, jnp.float32)
     fixed = 0
     if prefix is not None:
         fixed = prefix.shape[1]
         x = jnp.concatenate([prefix.astype(jnp.float32), x[:, fixed:]], axis=1)
+    name = getattr(sampler_cfg, "name", "vpsde_dpmpp2m")
+    if name != "vpsde_dpmpp2m":
+        fn = denoise_fn if bundle is None else \
+            (lambda xx, step: denoise_fn(xx, step, bundle))
+        if name == "vpode_dpmpp2m":
+            return samplers.vpode_dpmpp2m_sample(fn, x, sampler_cfg,
+                                                 key=k_samp,
+                                                 fixed_frames=fixed)
+        if name == "video_ddim":
+            return samplers.video_ddim_sample(fn, x, sampler_cfg, key=k_samp,
+                                              fixed_frames=fixed)
+        raise ValueError(f"unknown sampler name: {name!r}")
     return samplers.vpsde_dpmpp2m_sample(denoise_fn, x, sampler_cfg,
                                          key=k_samp, fixed_frames=fixed,
                                          sdedit=sdedit, params=bundle,

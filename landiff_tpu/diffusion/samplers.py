@@ -27,6 +27,31 @@ import numpy as np
 from landiff_tpu.config import SamplerConfig
 from landiff_tpu.diffusion import schedule as sched
 
+# Always-compute window defaults for cross-step model-output reuse
+# (LANDIFF_STEP_REUSE). Single source of truth — benchmarks and tests that
+# need the compute schedule must call reuse_compute_schedule, not re-derive.
+REUSE_HEAD_DEFAULT = 3
+REUSE_TAIL_DEFAULT = 3
+
+
+def reuse_compute_schedule(n: int, reuse_every: int,
+                           head: int = REUSE_HEAD_DEFAULT,
+                           tail: int = REUSE_TAIL_DEFAULT) -> np.ndarray:
+    """Per-step compute mask for LANDIFF_STEP_REUSE (bool[n]; True = call
+    the model, False = reuse the cached residual).
+
+    head is clamped >= 1 (step 0 must compute — the residual carry is
+    zeros-initialised) and tail is clamped >= 1 (the final is_last step
+    passes `denoised` through as the sample output; skipping it would
+    return a pure first-order extrapolation — a far larger quality cliff
+    than any middle-step reuse)."""
+    head = max(1, int(head))
+    tail = max(1, int(tail))
+    compute = np.ones(n, bool)
+    for i in range(head, n - tail):
+        compute[i] = (i - head) % int(reuse_every) == 0
+    return compute
+
 
 def _per_step_arrays(cfg: SamplerConfig):
     t = sched.sampler_tables(cfg)
@@ -143,8 +168,8 @@ def vpsde_dpmpp2m_sample(
     max_steps_per_call: int | None = None,
     params=None,
     reuse_every: int = 0,
-    reuse_head: int = 3,
-    reuse_tail: int = 3,
+    reuse_head: int = REUSE_HEAD_DEFAULT,
+    reuse_tail: int = REUSE_TAIL_DEFAULT,
 ) -> jax.Array:
     """DPM-Solver++(2M) SDE in VP parameterization.
 
@@ -168,20 +193,18 @@ def vpsde_dpmpp2m_sample(
         is_last denoised passthrough). The stochastic path (noise draws)
         is identical to the exact sampler, so drift is purely the model
         approximation.
-      reuse_head/reuse_tail: always-compute windows (head is clamped ≥ 1:
-        step 0 must compute or the residual would be the zeros init).
+      reuse_head/reuse_tail: always-compute windows (head clamped ≥ 1:
+        step 0 must compute or the residual would be the zeros init; tail
+        clamped ≥ 1: the is_last step's denoised passthrough IS the sample
+        output and must come from a real model call).
     """
     _, c = _per_step_arrays(cfg)
     n = cfg.num_steps
     reuse = reuse_every is not None and reuse_every > 1
     if reuse:
-        head = max(1, int(reuse_head))
-        tail = max(0, int(reuse_tail))
-        compute = np.ones(n, bool)
-        for i in range(head, n - tail):
-            compute[i] = (i - head) % int(reuse_every) == 0
         c = dict(c)
-        c["compute"] = compute
+        c["compute"] = reuse_compute_schedule(n, reuse_every, reuse_head,
+                                              reuse_tail)
     dev = lambda a, dt=jnp.float32: jnp.asarray(a, dt)
     coeffs = {k: dev(v, jnp.float32 if v.dtype != bool else jnp.bool_)
               for k, v in c.items() if k not in ("timestep", "idx")}

@@ -111,15 +111,22 @@ class CogModelInferWrapper:
                              self.cfg.t5, compute_dtype=jnp.float32)
 
     def __call__(self, task: VideoTask,
-                 prefix_video: np.ndarray | None = None) -> VideoTask:
+                 prefix_video: np.ndarray | None = None,
+                 init_noise: np.ndarray | None = None) -> VideoTask:
         """prefix_video: optional (B, 3, T0, H, W) in [0,1] — image2video /
         continuation: VAE-encoded into prefix latents spliced into the noise
-        each sampler step (diffusion_video.py:287-288, sampling.py:800-817)."""
+        each sampler step (diffusion_video.py:287-288, sampling.py:800-817).
+        init_noise: optional initial latents replacing the seeded draw (the
+        reference `generator` seam, diffusion_video.py:262-283)."""
         cfg = self.cfg
         assert task.semantic_token is not None, "stage-1 codes required"
         tokens = jnp.asarray(task.semantic_token).reshape(1, -1)
 
-        seed = seed_from_text(str(task.prompt), task.seed)
+        # CogWrapper.forward seed semantics (dif_infer.py:190-195): an
+        # explicit task seed is used DIRECTLY (the wrapper always passes one,
+        # :296); the text-hash combination only backs a missing seed.
+        seed = int(task.seed) if task.seed is not None else \
+            seed_from_text(str(task.prompt), 42)
         key = jax.random.PRNGKey(seed)
 
         context = self.encode_text(task.prompt)

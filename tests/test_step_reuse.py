@@ -90,8 +90,11 @@ def test_reuse_skips_model_calls():
     assert len(calls) == 5
 
 
-def test_reuse_head_clamped_to_one():
-    # step 0 must compute (resid init is zeros); head=0 is clamped
+def test_reuse_head_and_tail_clamped_to_one():
+    # step 0 must compute (resid init is zeros) and the final is_last step
+    # must compute (its denoised passthrough IS the sample output — a
+    # skipped last step would return a pure extrapolation); both head=0
+    # and tail=0 are clamped to 1 (ADVICE r4)
     calls = []
 
     def denoise_fn(x, step):
@@ -103,8 +106,10 @@ def test_reuse_head_clamped_to_one():
         denoise_fn, jnp.ones(SHAPE, jnp.float32), cfg,
         key=jax.random.PRNGKey(0), reuse_every=6, reuse_head=0,
         reuse_tail=0))
-    # head {0} + middle {1} ((i-1)%6==0 on 1..5) — tail empty
-    assert len(calls) == 2
+    # head {0} + middle {1} ((i-1)%6==0 on 1..4) + tail {5}
+    assert len(calls) == 3
+    sched = samplers.reuse_compute_schedule(6, 6, head=0, tail=0)
+    assert bool(sched[0]) and bool(sched[-1]) and int(sched.sum()) == 3
 
 
 def test_reuse_drift_small_on_contraction():
