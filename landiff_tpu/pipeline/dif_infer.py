@@ -154,7 +154,8 @@ class CogModelInferWrapper:
                 compute_dtype=self.compute_dtype, attn_impl=self.attn_impl)
         latents = engine.sample_latents(
             denoise_fn, cfg.sampler, cfg.dit, key=key, bundle=bundle,
-            prefix=prefix, max_steps_per_call=self.max_steps_per_call)
+            prefix=prefix, max_steps_per_call=self.max_steps_per_call,
+            init_noise=init_noise)
         if os.environ.get("LANDIFF_OFFLOAD") == "1":
             # single-chip 16 GB: DiT+control+semantic (~6 GB) + VAE caches
             # + decode activations don't all fit at 480p — swap the

@@ -370,13 +370,42 @@ def install():
     sat = types.ModuleType("sat")
     helpers = types.ModuleType("sat.helpers")
     helpers.print_rank0 = print_rank0
+    # import-only glue consumed by landiff/diffusion/{arguments,dif_infer}.py:
+    # the composed E2E oracle bypasses CogWrapper.__init__ (whose get_args/
+    # get_model/load_checkpoint calls are SAT *training* bootstrap, not math),
+    # so these names exist solely to satisfy module import
+    arguments = types.ModuleType("sat.arguments")
+    arguments.add_data_args = lambda parser: parser
+    arguments.add_evaluation_args = lambda parser: parser
+    arguments.add_training_args = lambda parser: parser
+    arguments.set_random_seed = lambda seed: None
+    training = types.ModuleType("sat.training")
+    model_io = types.ModuleType("sat.training.model_io")
+
+    def load_checkpoint(*a, **kw):
+        raise NotImplementedError(
+            "sat.training.model_io.load_checkpoint stub: the oracle tests "
+            "construct models directly and never load SAT checkpoints")
+
+    model_io.load_checkpoint = load_checkpoint
+    training.model_io = model_io
     model = types.ModuleType("sat.model")
     base_model = types.ModuleType("sat.model.base_model")
     base_model.BaseModel = BaseModel
     base_model.non_conflict = non_conflict
+
+    def get_model(args, model_cls, **kwargs):
+        raise NotImplementedError(
+            "sat.model.base_model.get_model stub: oracle tests construct "
+            "engines directly (SATControlVideoDiffusionEngine(args))")
+
+    base_model.get_model = get_model
     mixins_mod = types.ModuleType("sat.model.mixins")
     mixins_mod.BaseMixin = BaseMixin
     mpu = types.ModuleType("sat.mpu")
+    # model_parallel_size=1 degenerate form (diffusion_video.py:291-297
+    # skips the noise broadcast when world size is 1)
+    mpu.get_model_parallel_world_size = lambda: 1
     mpu_layers = types.ModuleType("sat.mpu.layers")
     mpu_layers.ColumnParallelLinear = ColumnParallelLinear
     ops = types.ModuleType("sat.ops")
@@ -393,12 +422,17 @@ def install():
     sat.mpu = mpu
     sat.ops = ops
     sat.transformer_defaults = transformer_defaults
+    sat.arguments = arguments
+    sat.training = training
     model.base_model = base_model
     model.mixins = mixins_mod
     mpu.layers = mpu_layers
     ops.layernorm = ops_layernorm
 
     sys.modules["sat"] = sat
+    sys.modules["sat.arguments"] = arguments
+    sys.modules["sat.training"] = training
+    sys.modules["sat.training.model_io"] = model_io
     sys.modules["sat.helpers"] = helpers
     sys.modules["sat.model"] = model
     sys.modules["sat.model.base_model"] = base_model
