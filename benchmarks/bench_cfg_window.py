@@ -1,0 +1,120 @@
+"""Guidance-window CFG (LANDIFF_CFG_WINDOW) at production scale: time the
+FULL 50-step diffusion phase (BASELINE config #4 geometry — 30L+15L
+ControlNet DiT, S=17776, CFG batch 2, bf16, int8-scores attention default)
+exact vs windowed in ONE process with shared random-init weights, and
+report the latent agreement (same PRNG key => identical noise path, so the
+difference is purely the skipped uncond rows).
+
+The guidance interval (full two-row CFG only on steps [lo, hi), cond-only
+elsewhere) is the training-free technique of Kynkäänniemi et al. 2024;
+quality-affecting, opt-in, OFF by default — the reference always runs both
+CFG rows every step (guiders.py:58-96 + sampling.py prepare_inputs). See
+samplers.vpsde_dpmpp2m_sample(cfg_window=...).
+
+Warm passes use a 5-step schedule (same chunked-program keying argument as
+bench_step_reuse.py): chunk=5 compiles the exact m=5 executables — both
+lax.cond branches included — that the 50-step run dispatches.
+
+Env: LANDIFF_BENCH_SCALE (shrink for CPU smoke),
+     LANDIFF_BENCH_GW_STEPS (timed steps, default 50),
+     LANDIFF_BENCH_GW_WINDOW (window, default "2,44" ≈ the paper's
+     mid-schedule interval at 50 steps; negative hi counts from the end).
+"""
+
+import dataclasses
+import json
+import os
+import time
+
+SCALE = float(os.environ.get("LANDIFF_BENCH_SCALE", "1"))
+
+
+def _config(num_steps):
+    from landiff_tpu.config import LanDiffConfig, tiny_test_config
+
+    if SCALE >= 1:
+        cfg = LanDiffConfig()
+    else:
+        cfg = tiny_test_config()
+    return dataclasses.replace(cfg, sampler=dataclasses.replace(
+        cfg.sampler, num_steps=num_steps))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/landiff_jax_cache")
+    from landiff_tpu import utils
+    from landiff_tpu.diffusion import engine, samplers
+    from landiff_tpu.models import dit as dit_lib
+    from landiff_tpu.models import semantic_cond as sc_lib
+
+    n = int(os.environ.get("LANDIFF_BENCH_GW_STEPS", "50"))
+    lo, hi = (int(v) for v in
+              os.environ.get("LANDIFF_BENCH_GW_WINDOW", "2,44").split(","))
+    chunk = 5
+    cfg = _config(n)
+    dt = jnp.bfloat16
+    d, t = cfg.dit, cfg.tokenizer
+    n_sem = t.titok.iframe_latent_tokens + \
+        (t.titok.temporal_size - 1) * t.titok.pframe_latent_tokens
+    ctx = jax.random.normal(jax.random.PRNGKey(0),
+                            (1, d.text_length, d.text_dim), dt)
+    codes = jax.random.randint(jax.random.PRNGKey(1), (1, n_sem), 0,
+                               t.vq.codebook_size)
+    main_p = utils.fill_zero_leaves(
+        dit_lib.init(jax.random.PRNGKey(3), d, dtype=dt),
+        jax.random.PRNGKey(13))
+    ctrl_p = utils.fill_zero_leaves(
+        dit_lib.init(jax.random.PRNGKey(4), d, control=True, dtype=dt),
+        jax.random.PRNGKey(14))
+    sem_p = utils.fill_zero_leaves(
+        sc_lib.init(jax.random.PRNGKey(5), t, cfg.semantic_cond, dtype=dt),
+        jax.random.PRNGKey(15))
+    attn = "pallas" if SCALE >= 1 else "reference"
+    denoise_fn, bundle = engine.make_denoise_fn(
+        main_p, ctrl_p, sem_p, d, cfg.sampler, t, cfg.semantic_cond,
+        ctx, jnp.zeros_like(ctx), codes, compute_dtype=dt, attn_impl=attn)
+
+    warm_cfg = _config(chunk)
+
+    def run(window, sampler_cfg, key=7):
+        lat = engine.sample_latents(
+            denoise_fn, sampler_cfg.sampler, d, key=jax.random.PRNGKey(key),
+            bundle=bundle, max_steps_per_call=chunk, cfg_window=window)
+        return np.asarray(lat, dtype=np.float32)
+
+    results = {}
+    lats = {}
+    for mode, w in (("exact", None), ("windowed", (lo, hi))):
+        # warm window clipped to the 5-step schedule; same executables
+        run(None if w is None else (min(lo, 1), min(max(hi, 2), chunk)),
+            warm_cfg)
+        t0 = time.time()
+        lats[mode] = run(w, cfg)
+        results[mode] = time.time() - t0
+
+    a, b = lats["exact"].ravel(), lats["windowed"].ravel()
+    corr = float(np.corrcoef(a, b)[0, 1])
+    rel = float(np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12))
+    full_steps = int(samplers.cfg_window_schedule(n, lo, hi).sum())
+    exact_s, gw_s = results["exact"], results["windowed"]
+    print(json.dumps({
+        "metric": "diffusion_phase_cfg_window",
+        "steps": n, "window": [lo, hi], "full_cfg_steps": full_steps,
+        "model_rows_frac": round((n + full_steps) / (2 * n), 3),
+        "exact_s": round(exact_s, 2), "windowed_s": round(gw_s, 2),
+        "speedup": round(exact_s / max(gw_s, 1e-9), 3),
+        "latent_corr_vs_exact": round(corr, 5),
+        "latent_rel_err": round(rel, 5),
+        "note": "random-init weights; corr is a mechanics-level drift "
+                "signal, not a quality claim. NOTE cond-only IS a semantic "
+                "change (cfg_scale=1 outside the window) — unlike reuse, "
+                "low corr vs exact is expected and not itself disqualifying",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -96,13 +96,15 @@ def _denoise_fn_for(dit_cfg: DiTConfig, compute_dtype, attn_impl):
     sample_latents call (a fresh closure per segment re-traced the full
     45-layer DiT, seconds of host time per segment)."""
 
-    def denoise_fn(x, step, b):
-        B = x.shape[0]
+    def _scalings(step, b):
         # DiscreteDenoiser sigma quantization: nearest 1000-table entry
         alpha = b["q_alpha"][jnp.argmin(jnp.abs(step["alpha"]
                                                 - b["alpha_table"]))]
-        c_skip = alpha
-        c_out = -jnp.sqrt(1.0 - alpha ** 2)
+        return alpha, -jnp.sqrt(1.0 - alpha ** 2)
+
+    def denoise_fn(x, step, b):
+        B = x.shape[0]
+        c_skip, c_out = _scalings(step, b)
         x2 = jnp.concatenate([x, x], axis=0)
         ts = jnp.full((2 * B,), step["timestep"], jnp.float32)
         if "sem_feature" in b:
@@ -120,13 +122,37 @@ def _denoise_fn_for(dit_cfg: DiTConfig, compute_dtype, attn_impl):
         x_u, x_c = denoised[:B], denoised[B:]
         return x_u + step["cfg_scale"] * (x_c - x_u)
 
+    def cond_only(x, step, b):
+        """The cond row alone (guidance-window CFG, LANDIFF_CFG_WINDOW):
+        outside the guidance interval the uncond row is skipped entirely —
+        HALF the model rows for those steps. Equivalent to cfg_scale=1
+        there (the training-free guidance-interval technique; the
+        reference's DynamicCFG surface being windowed: guiders.py:58-79)."""
+        B = x.shape[0]
+        c_skip, c_out = _scalings(step, b)
+        ts = jnp.full((B,), step["timestep"], jnp.float32)
+        ctx_c = b["ctx2"][B:]  # CFG batch order [uc, c]
+        if "sem_feature" in b:
+            net_out = dit_lib.control_warp_forward(
+                b["main"], b["control"], x.astype(compute_dtype), ts,
+                ctx_c, dit_cfg, b["sem_feature"], attn_impl=attn_impl,
+                compute_dtype=compute_dtype)
+        else:
+            net_out = dit_lib.forward(
+                b["main"], x.astype(compute_dtype), ts, ctx_c, dit_cfg,
+                attn_impl=attn_impl, compute_dtype=compute_dtype)
+        return net_out.astype(jnp.float32) * c_out \
+            + x.astype(jnp.float32) * c_skip
+
+    denoise_fn.cond_only = cond_only
     return denoise_fn
 
 
 def sample_latents(denoise_fn, sampler_cfg: SamplerConfig, dit_cfg: DiTConfig,
                    *, key, bundle=None, batch_size=1, prefix=None,
                    sdedit=False, max_steps_per_call: int | None = None,
-                   reuse_every: int | None = None, init_noise=None):
+                   reuse_every: int | None = None, init_noise=None,
+                   cfg_window=None):
     """Engine.sample (diffusion_video.py:255-315): randn latents (optionally
     prefix-spliced) -> sampler loop. Returns (B, T, C, H, W) fp32.
     `bundle` is the params pytree from make_denoise_fn.
@@ -145,11 +171,20 @@ def sample_latents(denoise_fn, sampler_cfg: SamplerConfig, dit_cfg: DiTConfig,
     `reuse_every` (default: env LANDIFF_STEP_REUSE, off): cross-step model-
     output reuse — a quality-affecting opt-in serving accelerator; see
     samplers.vpsde_dpmpp2m_sample. Applies to every pipeline (single-chip,
-    TP, SP, long-video) since they all sample through this function."""
+    TP, SP, long-video) since they all sample through this function.
+
+    `cfg_window` (default: env LANDIFF_CFG_WINDOW="lo,hi", off): guidance
+    interval — full CFG only on steps [lo, hi), cond-row-only elsewhere
+    (half the model rows there); see samplers.vpsde_dpmpp2m_sample."""
     import os
 
     if reuse_every is None:
         reuse_every = int(os.environ.get("LANDIFF_STEP_REUSE", "0") or 0)
+    if cfg_window is None:
+        env = os.environ.get("LANDIFF_CFG_WINDOW", "")
+        if env:
+            lo, hi = env.split(",")
+            cfg_window = (int(lo), int(hi))
     k_noise, k_samp = jax.random.split(key)
     if init_noise is not None:
         x = jnp.asarray(init_noise, jnp.float32)
@@ -177,7 +212,8 @@ def sample_latents(denoise_fn, sampler_cfg: SamplerConfig, dit_cfg: DiTConfig,
                                          key=k_samp, fixed_frames=fixed,
                                          sdedit=sdedit, params=bundle,
                                          max_steps_per_call=max_steps_per_call,
-                                         reuse_every=reuse_every)
+                                         reuse_every=reuse_every,
+                                         cfg_window=cfg_window)
 
 
 def decode_first_stage(vae_params, latents, vae_cfg: VAEConfig, *,

@@ -81,9 +81,20 @@ def _per_step_arrays(cfg: SamplerConfig):
     }
 
 
+def cfg_window_schedule(n: int, lo: int, hi: int) -> np.ndarray:
+    """Per-step guidance mask for LANDIFF_CFG_WINDOW (bool[n]; True = run
+    both CFG rows, False = cond-only row). Guidance applies on steps in
+    [lo, hi); negative hi counts from the end (hi=-3 -> n-3)."""
+    hi = hi if hi >= 0 else n + hi
+    mask = np.zeros(n, bool)
+    mask[max(0, lo):max(0, min(n, hi))] = True
+    return mask
+
+
 @functools.lru_cache(maxsize=8)
 def _dpmpp2m_chunk_program(denoise_fn, fixed_frames: int, sdedit: bool,
-                           pass_params: bool, reuse: bool = False):
+                           pass_params: bool, reuse: bool = False,
+                           gw: bool = False):
     """Build the jitted chunked-scan program for one denoise_fn.
 
     Cached so repeated sampler invocations with the same denoise_fn (warm
@@ -102,7 +113,19 @@ def _dpmpp2m_chunk_program(denoise_fn, fixed_frames: int, sdedit: bool,
     program is byte-identical to the pre-feature one so the serving
     default's compiled programs (and their measured timings) are
     untouched.
+
+    `gw=True` builds the guidance-window variant (LANDIFF_CFG_WINDOW, see
+    vpsde_dpmpp2m_sample): each step's boolean `step["cfg_compute"]`
+    selects, via lax.cond, between the full two-row CFG call and
+    `denoise_fn.cond_only` (half the model rows). Composes with reuse (a
+    reused step calls no model at all; a computed step then picks its row
+    count).
     """
+    cond_only = getattr(denoise_fn, "cond_only", None)
+    if gw and cond_only is None:
+        raise ValueError(
+            "cfg_window requested but denoise_fn has no .cond_only variant "
+            "(engine.make_denoise_fn provides one; mesh paths: tp_infer)")
 
     def body(params, prefix, carry, step):
         if reuse:
@@ -120,9 +143,20 @@ def _dpmpp2m_chunk_program(denoise_fn, fixed_frames: int, sdedit: bool,
                 x = jnp.concatenate([prefix, x[:, fixed_frames:]], axis=1)
 
         def call_model(x):
-            if pass_params:
-                return denoise_fn(x, step, params).astype(jnp.float32)
-            return denoise_fn(x, step).astype(jnp.float32)
+            def full(x):
+                if pass_params:
+                    return denoise_fn(x, step, params).astype(jnp.float32)
+                return denoise_fn(x, step).astype(jnp.float32)
+
+            if not gw:
+                return full(x)
+
+            def cond(x):
+                if pass_params:
+                    return cond_only(x, step, params).astype(jnp.float32)
+                return cond_only(x, step).astype(jnp.float32)
+
+            return jax.lax.cond(step["cfg_compute"], full, cond, x)
 
         if reuse:
             denoised, resid = jax.lax.cond(
@@ -170,6 +204,7 @@ def vpsde_dpmpp2m_sample(
     reuse_every: int = 0,
     reuse_head: int = REUSE_HEAD_DEFAULT,
     reuse_tail: int = REUSE_TAIL_DEFAULT,
+    cfg_window: tuple[int, int] | None = None,
 ) -> jax.Array:
     """DPM-Solver++(2M) SDE in VP parameterization.
 
@@ -197,14 +232,25 @@ def vpsde_dpmpp2m_sample(
         step 0 must compute or the residual would be the zeros init; tail
         clamped ≥ 1: the is_last step's denoised passthrough IS the sample
         output and must come from a real model call).
+      cfg_window: optional (lo, hi) guidance interval (LANDIFF_CFG_WINDOW;
+        quality-affecting, OFF by default — the training-free
+        guidance-interval technique, Kynkäänniemi et al. 2024). Steps in
+        [lo, hi) run full two-row CFG; outside, only the cond row runs
+        (HALF the model rows, equivalent to cfg_scale=1 there). hi < 0
+        counts from the end. Requires denoise_fn.cond_only. Composes with
+        reuse_every. Windows the reference's DynamicCFG (guiders.py:58-79).
     """
     _, c = _per_step_arrays(cfg)
     n = cfg.num_steps
     reuse = reuse_every is not None and reuse_every > 1
-    if reuse:
+    gw = cfg_window is not None
+    if reuse or gw:
         c = dict(c)
+    if reuse:
         c["compute"] = reuse_compute_schedule(n, reuse_every, reuse_head,
                                               reuse_tail)
+    if gw:
+        c["cfg_compute"] = cfg_window_schedule(n, *cfg_window)
     dev = lambda a, dt=jnp.float32: jnp.asarray(a, dt)
     coeffs = {k: dev(v, jnp.float32 if v.dtype != bool else jnp.bool_)
               for k, v in c.items() if k not in ("timestep", "idx")}
@@ -216,7 +262,7 @@ def vpsde_dpmpp2m_sample(
 
     scan_chunk = _dpmpp2m_chunk_program(denoise_fn, fixed_frames,
                                         bool(sdedit), params is not None,
-                                        reuse)
+                                        reuse, gw)
     if reuse:
         carry = (x, jnp.zeros_like(x), jnp.zeros_like(x), key)
     else:
