@@ -26,7 +26,8 @@ import time
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/landiff_jax_cache")
+from landiff_tpu.utils import enable_compile_cache
+enable_compile_cache()
 
 A100_REF_STEP_MS = 3300.0
 
@@ -105,8 +106,11 @@ def main():
     key = jax.random.PRNGKey(0)
     main_p = dit_lib.init(key, cfg, dtype=dt)
     ctrl_p = dit_lib.init(jax.random.PRNGKey(1), cfg, control=True, dtype=dt)
-    if os.environ.get("LANDIFF_DIT_INT8") == "1":
-        # W8A8 int8 linears (dit.quantize_int8; drift-gated opt-in)
+    from landiff_tpu.utils import env_flag
+
+    if env_flag("LANDIFF_DIT_INT8"):
+        # W8A8 int8 linears (dit.quantize_int8; drift-gated opt-in;
+        # LANDIFF_FAST=1 preset flips it too — explicit env always wins)
         main_p = dit_lib.quantize_int8(main_p)
         ctrl_p = dit_lib.quantize_int8(ctrl_p)
 

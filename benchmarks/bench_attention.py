@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/landiff_jax_cache")
+from landiff_tpu.utils import enable_compile_cache
+enable_compile_cache()
 
 
 def run(S=18002, iters=3, B=2, H=30):

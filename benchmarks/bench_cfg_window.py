@@ -45,7 +45,8 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/landiff_jax_cache")
+    from landiff_tpu.utils import enable_compile_cache
+    enable_compile_cache()
     from landiff_tpu import utils
     from landiff_tpu.diffusion import engine, samplers
     from landiff_tpu.models import dit as dit_lib

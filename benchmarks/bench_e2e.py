@@ -21,7 +21,8 @@ WORK = "/tmp/landiff_e2e"
 
 def _phase_t5():
     import jax, jax.numpy as jnp, numpy as np
-    jax.config.update("jax_compilation_cache_dir", "/tmp/landiff_jax_cache")
+    from landiff_tpu.utils import enable_compile_cache
+    enable_compile_cache()
     from landiff_tpu.config import LanDiffConfig
     from landiff_tpu.models import t5 as t5_lib
 
@@ -42,7 +43,8 @@ def _phase_t5():
 
 def _phase_stage1():
     import jax, jax.numpy as jnp, numpy as np
-    jax.config.update("jax_compilation_cache_dir", "/tmp/landiff_jax_cache")
+    from landiff_tpu.utils import enable_compile_cache
+    enable_compile_cache()
     from landiff_tpu.config import ARSampleConfig, LanDiffConfig
     from landiff_tpu.models import lm as lm_lib
 
@@ -50,7 +52,9 @@ def _phase_stage1():
     dt = jnp.bfloat16
     lmp = lm_lib.init(jax.random.PRNGKey(1), cfg.llm, t5_dim=cfg.t5.d_model,
                       dtype=dt)
-    if os.environ.get("LANDIFF_DECODE_INT8") == "1":
+    from landiff_tpu.utils import env_flag
+
+    if env_flag("LANDIFF_DECODE_INT8"):  # LANDIFF_FAST=1 flips this too
         from landiff_tpu.models import gpt as gpt_lib
 
         lmp = dict(lmp)
@@ -74,7 +78,8 @@ def _phase_stage1():
 
 def _phase_diffusion():
     import jax, jax.numpy as jnp, numpy as np
-    jax.config.update("jax_compilation_cache_dir", "/tmp/landiff_jax_cache")
+    from landiff_tpu.utils import enable_compile_cache
+    enable_compile_cache()
     import dataclasses
 
     from landiff_tpu.config import LanDiffConfig
@@ -92,8 +97,9 @@ def _phase_diffusion():
     main_p = dit_lib.init(jax.random.PRNGKey(3), cfg.dit, dtype=dt)
     ctrl_p = dit_lib.init(jax.random.PRNGKey(4), cfg.dit, control=True,
                           dtype=dt)
-    if os.environ.get("LANDIFF_DIT_INT8") == "1":
-        # W8A8 int8 linears (dit.quantize_int8; drift-gated opt-in)
+    from landiff_tpu.utils import env_flag
+
+    if env_flag("LANDIFF_DIT_INT8"):  # W8A8 opt-in; LANDIFF_FAST=1 preset
         main_p = dit_lib.quantize_int8(main_p)
         ctrl_p = dit_lib.quantize_int8(ctrl_p)
     sem_p = sc_lib.init(jax.random.PRNGKey(5), cfg.tokenizer,
@@ -121,7 +127,8 @@ def _phase_diffusion():
 
 def _phase_vae():
     import jax, jax.numpy as jnp, numpy as np
-    jax.config.update("jax_compilation_cache_dir", "/tmp/landiff_jax_cache")
+    from landiff_tpu.utils import enable_compile_cache
+    enable_compile_cache()
     from landiff_tpu.config import LanDiffConfig
     from landiff_tpu.diffusion import engine
     from landiff_tpu.models import vae as vae_lib

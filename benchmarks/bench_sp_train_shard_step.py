@@ -49,7 +49,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/landiff_jax_cache")
+from landiff_tpu.utils import enable_compile_cache
+enable_compile_cache()
 
 from landiff_tpu.config import LanDiffConfig, tiny_test_config  # noqa: E402
 from landiff_tpu.diffusion import schedule  # noqa: E402

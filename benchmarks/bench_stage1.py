@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/landiff_jax_cache")
+from landiff_tpu.utils import enable_compile_cache
+enable_compile_cache()
 
 from landiff_tpu.config import ARSampleConfig, LLMConfig
 from landiff_tpu.models import lm

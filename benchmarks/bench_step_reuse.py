@@ -45,7 +45,8 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/landiff_jax_cache")
+    from landiff_tpu.utils import enable_compile_cache
+    enable_compile_cache()
     from landiff_tpu.diffusion import engine
     from landiff_tpu.models import dit as dit_lib
     from landiff_tpu.models import semantic_cond as sc_lib

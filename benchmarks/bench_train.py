@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/landiff_jax_cache")
+from landiff_tpu.utils import enable_compile_cache
+enable_compile_cache()
 
 
 def main():

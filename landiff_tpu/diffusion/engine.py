@@ -176,15 +176,26 @@ def sample_latents(denoise_fn, sampler_cfg: SamplerConfig, dit_cfg: DiTConfig,
     `cfg_window` (default: env LANDIFF_CFG_WINDOW="lo,hi", off): guidance
     interval — full CFG only on steps [lo, hi), cond-row-only elsewhere
     (half the model rows there); see samplers.vpsde_dpmpp2m_sample."""
-    import os
+    from landiff_tpu.utils import env_value, logger
 
     if reuse_every is None:
-        reuse_every = int(os.environ.get("LANDIFF_STEP_REUSE", "0") or 0)
+        reuse_every = int(env_value("LANDIFF_STEP_REUSE", "0") or 0)
     if cfg_window is None:
-        env = os.environ.get("LANDIFF_CFG_WINDOW", "")
+        env = env_value("LANDIFF_CFG_WINDOW", "")
         if env:
             lo, hi = env.split(",")
             cfg_window = (int(lo), int(hi))
+            if getattr(denoise_fn, "cond_only", None) is None:
+                # env/preset-derived window on a denoise_fn without a
+                # cond-only twin (the mesh TP path: CFG rows ride the data
+                # axis, skipping uncond would idle a shard, not save time)
+                # — degrade to full CFG instead of failing the pipeline.
+                # An EXPLICIT cfg_window argument still raises in the
+                # sampler (the caller asked for something impossible).
+                logger.warning(
+                    "LANDIFF_CFG_WINDOW ignored: denoise_fn has no "
+                    "cond_only variant (mesh TP/SP path)")
+                cfg_window = None
     k_noise, k_samp = jax.random.split(key)
     if init_noise is not None:
         x = jnp.asarray(init_noise, jnp.float32)

@@ -17,13 +17,33 @@ import numpy as np
 logger = logging.getLogger("landiff_tpu")
 
 
-# LANDIFF_FAST=1 — the measured serving fast preset (DEPLOYMENT.md): flips
-# every quantization knob whose compound drift is test-gated. int8-scores
-# attention is already the inference default; the preset adds W8A8 DiT
-# linears (-4.1% step time measured, tests/test_dit_int8_drift.py) and
-# weight-only int8 stage-1 decode (8.3 s vs 11.7 s measured,
-# tests/test_fast_preset.py gates the combination).
-_FAST_PRESET = {"LANDIFF_DIT_INT8": True, "LANDIFF_DECODE_INT8": True}
+# LANDIFF_FAST — the measured serving fast presets (DEPLOYMENT.md), tiered:
+#   level 1: every quantization knob whose compound drift is test-gated.
+#     int8-scores attention is already the inference default; adds W8A8 DiT
+#     linears (-4.1% step time measured, tests/test_dit_int8_drift.py) and
+#     weight-only int8 stage-1 decode (8.3 s vs 11.7 s measured,
+#     tests/test_fast_preset.py gates the combination).
+#   level 2 ("turbo"): level 1 + the quality-traded SCHEDULE accelerators
+#     measured at production shape (r5): cross-step model-output reuse
+#     (LANDIFF_STEP_REUSE=2 — 1.52x the diffusion phase, latent corr
+#     0.9995 vs exact, benchmarks/bench_step_reuse.py) and the guidance
+#     window (LANDIFF_CFG_WINDOW — cond-only rows outside the interval).
+# An explicitly-set knob always wins over any preset level.
+_FAST_PRESET = {"LANDIFF_DIT_INT8": (1, True),
+                "LANDIFF_DECODE_INT8": (1, True)}
+_FAST_VALUES = {"LANDIFF_STEP_REUSE": (2, "2"),
+                "LANDIFF_CFG_WINDOW": (2, "2,44")}
+
+
+def fast_level() -> int:
+    """Numeric LANDIFF_FAST level (0 = off; legacy truthy strings = 1)."""
+    v = os.environ.get("LANDIFF_FAST", "")
+    if not v:
+        return 0
+    try:
+        return int(v)
+    except ValueError:
+        return 0 if v.lower() in ("0", "false", "no") else 1
 
 
 def stable_hash(key: str) -> int:
@@ -135,13 +155,46 @@ def freeze_tree(params):
     return jax.tree_util.tree_map(jax.lax.stop_gradient, params)
 
 
+def enable_compile_cache() -> str:
+    """Point XLA's persistent compilation cache at a directory that
+    SURVIVES across sessions/rounds.
+
+    Every bench/pipeline process used /tmp/landiff_jax_cache, but /tmp is
+    wiped between rounds — which is exactly the BENCH_r04 "compile-time
+    regression" (943 s vs 161 s for the same program): r4's first bench
+    process paid a full cold compile of the 45-layer program because the
+    r3 cache no longer existed. Default is <repo>/.jax_cache (gitignored);
+    LANDIFF_JAX_CACHE_DIR overrides; LANDIFF_CACHE_DEBUG=1 additionally
+    logs why any compile misses the cache."""
+    path = os.environ.get("LANDIFF_JAX_CACHE_DIR")
+    if not path:
+        path = str(Path(__file__).resolve().parent.parent / ".jax_cache")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    if os.environ.get("LANDIFF_CACHE_DEBUG") == "1":
+        jax.config.update("jax_explain_cache_misses", True)
+    return path
+
+
 def env_flag(name: str, default: bool = False) -> bool:
     """Read a boolean env knob. An explicit setting always wins; otherwise
-    LANDIFF_FAST=1 turns on the knobs in its preset (see _FAST_PRESET);
-    otherwise `default`."""
+    LANDIFF_FAST>=level turns on the knobs in its preset (see
+    _FAST_PRESET); otherwise `default`."""
     v = os.environ.get(name)
     if v is None:
-        if name in _FAST_PRESET and os.environ.get("LANDIFF_FAST") == "1":
-            return _FAST_PRESET[name]
+        if name in _FAST_PRESET and fast_level() >= _FAST_PRESET[name][0]:
+            return _FAST_PRESET[name][1]
         return default
     return v.lower() not in ("0", "false", "no", "")
+
+
+def env_value(name: str, default: str = "") -> str:
+    """Read a string-valued env knob with fast-preset fallback: an explicit
+    setting always wins; otherwise LANDIFF_FAST>=level supplies the preset
+    value (see _FAST_VALUES); otherwise `default`."""
+    v = os.environ.get(name)
+    if v is not None:
+        return v
+    if name in _FAST_VALUES and fast_level() >= _FAST_VALUES[name][0]:
+        return _FAST_VALUES[name][1]
+    return default

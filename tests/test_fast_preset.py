@@ -18,7 +18,8 @@ from landiff_tpu.utils import env_flag
 
 @pytest.fixture
 def clean_env(monkeypatch):
-    for k in ("LANDIFF_FAST", "LANDIFF_DIT_INT8", "LANDIFF_DECODE_INT8"):
+    for k in ("LANDIFF_FAST", "LANDIFF_DIT_INT8", "LANDIFF_DECODE_INT8",
+              "LANDIFF_STEP_REUSE", "LANDIFF_CFG_WINDOW"):
         monkeypatch.delenv(k, raising=False)
     return monkeypatch
 
@@ -36,6 +37,69 @@ def test_env_flag_semantics(clean_env):
     # non-preset knobs are untouched by LANDIFF_FAST
     assert env_flag("LANDIFF_SOMETHING_ELSE") is False
     assert env_flag("LANDIFF_SOMETHING_ELSE", default=True) is True
+
+
+def test_fast_level2_semantics(clean_env):
+    """LANDIFF_FAST=2 ("turbo", r5): level-1 quantizations PLUS the
+    schedule accelerators (STEP_REUSE=2, CFG_WINDOW=2,44 — both measured
+    at production shape, benchmarks/bench_step_reuse.py /
+    bench_cfg_window.py). Explicit settings always win; level 1 does NOT
+    enable the schedule knobs."""
+    from landiff_tpu.utils import env_value, fast_level
+
+    m = clean_env
+    assert fast_level() == 0
+    assert env_value("LANDIFF_STEP_REUSE", "0") == "0"
+    m.setenv("LANDIFF_FAST", "2")
+    assert fast_level() == 2
+    assert env_flag("LANDIFF_DIT_INT8") is True  # level-1 knobs included
+    assert env_value("LANDIFF_STEP_REUSE", "0") == "2"
+    assert env_value("LANDIFF_CFG_WINDOW", "") == "2,44"
+    m.setenv("LANDIFF_STEP_REUSE", "0")  # explicit beats the preset
+    assert env_value("LANDIFF_STEP_REUSE", "0") == "0"
+    m.delenv("LANDIFF_STEP_REUSE")
+    m.setenv("LANDIFF_FAST", "1")  # level 1: quantization only
+    assert env_value("LANDIFF_STEP_REUSE", "0") == "0"
+    assert env_value("LANDIFF_CFG_WINDOW", "") == ""
+    m.setenv("LANDIFF_FAST", "true")  # legacy truthy string = level 1
+    assert fast_level() == 1
+
+
+def test_fast_level2_compound_drift(clean_env):
+    """FAST=2 end-to-end on the tiny stage-2 pipeline: the combined
+    W8A8 + step-reuse + guidance-window sampling must stay correlated
+    with the exact run (tiny-scale gate; production-shape numbers live in
+    bench_step_reuse.py / bench_cfg_window.py + PARITY.md)."""
+    from landiff_tpu.pipeline import dif_infer
+
+    m = clean_env
+    cfg = tiny_test_config()
+    # 12 steps so STEP_REUSE actually skips middle steps (head/tail
+    # always-compute windows are 3+3; the tiny default of 4 would make
+    # the reuse component vacuous in this compound gate)
+    cfg = dataclasses.replace(cfg, sampler=dataclasses.replace(
+        cfg.sampler, num_steps=12))
+    dif_params = dif_infer.init_params(jax.random.PRNGKey(1), cfg)
+    n_sem = cfg.tokenizer.titok.latent_tokens
+    codes = np.asarray(jax.random.randint(
+        jax.random.PRNGKey(2), (1, n_sem), 0, cfg.llm.codebook_size))
+    vtask = dif_infer.VideoTask(save_file_name="t.mp4", prompt="a cat",
+                                seed=3, semantic_token=codes)
+    base = dif_infer.CogModelInferWrapper(dif_params, cfg,
+                                          compute_dtype=jnp.float32,
+                                          attn_impl="xla")
+    out_base = base(dataclasses.replace(vtask))
+
+    m.setenv("LANDIFF_FAST", "2")
+    fast = dif_infer.CogModelInferWrapper(dif_params, cfg,
+                                          compute_dtype=jnp.float32,
+                                          attn_impl="xla")
+    assert isinstance(fast.params["main"]["layers"][0]["qkv_w"], dict)
+    out_fast = fast(dataclasses.replace(vtask))
+    corr = np.corrcoef(out_fast.latent.ravel(),
+                       out_base.latent.ravel())[0, 1]
+    assert corr > 0.98, corr  # schedule accelerators trade more drift
+    assert np.isfinite(out_fast.latent).all()
 
 
 def test_fast_preset_compound_drift(clean_env):

@@ -89,11 +89,10 @@ def _free_port():
     return port
 
 
-def test_two_process_rendezvous_train_step():
+def _run_workers(mode, marker):
     """Launch 2 REAL processes x 4 virtual CPU devices, rendezvous via
-    jax.distributed.initialize, build the global (2,4) mesh, assemble a
-    per-host-sharded batch and run one stage-1 train step — both processes
-    must report the SAME finite loss, equal to the single-process value."""
+    jax.distributed.initialize over the global (2,4) mesh; return each
+    worker's last `marker`-prefixed output line split into floats."""
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own 4-device flag
@@ -101,7 +100,7 @@ def test_two_process_rendezvous_train_step():
     env["JAX_PLATFORMS"] = "cpu"
     worker = os.path.join(REPO, "tests", "multihost_worker.py")
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(i), "2", str(port)],
+        [sys.executable, worker, str(i), "2", str(port), mode],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env) for i in range(2)]
     outs = []
@@ -115,11 +114,19 @@ def test_two_process_rendezvous_train_step():
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
-    losses = []
+    rows = []
     for out in outs:
-        lines = [ln for ln in out.splitlines() if ln.startswith("LOSS ")]
+        lines = [ln for ln in out.splitlines() if ln.startswith(marker)]
         assert lines, out[-4000:]
-        losses.append(float(lines[-1].split()[1]))
+        rows.append([float(v) for v in lines[-1].split()[1:]])
+    return rows
+
+
+def test_two_process_rendezvous_train_step():
+    """2-process global-mesh stage-1 train step — both processes must
+    report the SAME finite loss, equal to the single-process value."""
+    outs = _run_workers("train", "LOSS")
+    losses = [row[0] for row in outs]
     assert np.isfinite(losses).all()
     # both processes computed the same global loss
     assert abs(losses[0] - losses[1]) < 1e-6, losses
@@ -141,3 +148,22 @@ def test_two_process_rendezvous_train_step():
     _, _, loss = step(params, opt.init(params), jnp.asarray(t5),
                       jnp.asarray(codes), jax.random.PRNGKey(42))
     assert abs(float(loss) - losses[0]) < 5e-6, (float(loss), losses[0])
+
+
+def test_two_process_tp_denoise_inference():
+    """VERDICT r4 #7: the TP/DP DiT denoise shard_map program (the v5e-8
+    SERVING program, parallel/tp_infer.py) crossing a real process
+    boundary — 2 processes x 4 CPU devices, global (2,4) mesh, inference
+    batch via make_global_batch (reference broadcast semantics,
+    diffusion_video.py:291-297 + arguments.py:215-299's diffusion-side
+    distributed init). Both processes must report identical output stats,
+    equal to the single-process 8-device run of the SAME builder."""
+    outs = _run_workers("tp_denoise", "STATS")
+    assert np.isfinite(outs).all(), outs
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6, atol=1e-7)
+
+    import multihost_worker
+
+    mesh = mesh_lib.make_mesh(MeshConfig(data=2, model=4), jax.devices())
+    want = multihost_worker.tp_denoise_stats(mesh)
+    np.testing.assert_allclose(outs[0], want, rtol=2e-5, atol=1e-6)
