@@ -87,12 +87,29 @@ def main():
             bundle=bundle, max_steps_per_call=chunk, cfg_window=window)
         return np.asarray(lat, dtype=np.float32)
 
+    def warm_for(window):
+        """Compile every (row-mode, m) chunk program the timed windowed
+        run will dispatch (static window segmentation: full/cond programs
+        per segment, chunked at `chunk`), each on an m-step schedule."""
+        if window is None:
+            run(None, warm_cfg)
+            return
+        mask = samplers.cfg_window_schedule(n, *window)
+        combos, s0 = set(), 0
+        for i in range(1, n + 1):
+            if i == n or mask[i] != mask[s0]:
+                for c0 in range(s0, i, chunk):
+                    combos.add((bool(mask[s0]), min(chunk, i - c0)))
+                s0 = i
+        for in_window, m in sorted(combos):
+            # (0, m) = all-in-window -> the full program at length m;
+            # (0, 0) = empty window -> the cond-only program at length m
+            run((0, m) if in_window else (0, 0), _config(m))
+
     results = {}
     lats = {}
     for mode, w in (("exact", None), ("windowed", (lo, hi))):
-        # warm window clipped to the 5-step schedule; same executables
-        run(None if w is None else (min(lo, 1), min(max(hi, 2), chunk)),
-            warm_cfg)
+        warm_for(w)
         t0 = time.time()
         lats[mode] = run(w, cfg)
         results[mode] = time.time() - t0

@@ -91,10 +91,10 @@ def cfg_window_schedule(n: int, lo: int, hi: int) -> np.ndarray:
     return mask
 
 
-@functools.lru_cache(maxsize=8)
+@functools.lru_cache(maxsize=16)
 def _dpmpp2m_chunk_program(denoise_fn, fixed_frames: int, sdedit: bool,
                            pass_params: bool, reuse: bool = False,
-                           gw: bool = False):
+                           row_mode: str = "full"):
     """Build the jitted chunked-scan program for one denoise_fn.
 
     Cached so repeated sampler invocations with the same denoise_fn (warm
@@ -114,15 +114,22 @@ def _dpmpp2m_chunk_program(denoise_fn, fixed_frames: int, sdedit: bool,
     default's compiled programs (and their measured timings) are
     untouched.
 
-    `gw=True` builds the guidance-window variant (LANDIFF_CFG_WINDOW, see
-    vpsde_dpmpp2m_sample): each step's boolean `step["cfg_compute"]`
-    selects, via lax.cond, between the full two-row CFG call and
-    `denoise_fn.cond_only` (half the model rows). Composes with reuse (a
-    reused step calls no model at all; a computed step then picks its row
-    count).
+    `row_mode="cond"` builds the guidance-window companion program
+    (LANDIFF_CFG_WINDOW): every step in this program calls
+    `denoise_fn.cond_only` (half the model rows) instead of the full
+    two-row CFG call — STATICALLY. The sampler partitions the schedule
+    into contiguous window segments and dispatches the matching program
+    per segment; there is NO per-step lax.cond. (A per-step-branch
+    variant was built and MEASURED SLOWER than exact at production shape
+    — 284.7 vs 244.8 s for 8 skipped uncond rows — while the cond-only
+    row in isolation costs exactly half a full step, 2.23 vs 4.44 s: the
+    two-branch scan body defeated XLA/Mosaic cross-step optimization.
+    Static segmentation keeps both programs at their measured speeds;
+    PARITY.md.) Composes with reuse (a reused step calls no model at
+    all; a computed step then uses this program's row count).
     """
     cond_only = getattr(denoise_fn, "cond_only", None)
-    if gw and cond_only is None:
+    if row_mode == "cond" and cond_only is None:
         raise ValueError(
             "cfg_window requested but denoise_fn has no .cond_only variant "
             "(engine.make_denoise_fn provides one; mesh paths: tp_infer)")
@@ -143,20 +150,10 @@ def _dpmpp2m_chunk_program(denoise_fn, fixed_frames: int, sdedit: bool,
                 x = jnp.concatenate([prefix, x[:, fixed_frames:]], axis=1)
 
         def call_model(x):
-            def full(x):
-                if pass_params:
-                    return denoise_fn(x, step, params).astype(jnp.float32)
-                return denoise_fn(x, step).astype(jnp.float32)
-
-            if not gw:
-                return full(x)
-
-            def cond(x):
-                if pass_params:
-                    return cond_only(x, step, params).astype(jnp.float32)
-                return cond_only(x, step).astype(jnp.float32)
-
-            return jax.lax.cond(step["cfg_compute"], full, cond, x)
+            fn = cond_only if row_mode == "cond" else denoise_fn
+            if pass_params:
+                return fn(x, step, params).astype(jnp.float32)
+            return fn(x, step).astype(jnp.float32)
 
         if reuse:
             denoised, resid = jax.lax.cond(
@@ -244,13 +241,10 @@ def vpsde_dpmpp2m_sample(
     n = cfg.num_steps
     reuse = reuse_every is not None and reuse_every > 1
     gw = cfg_window is not None
-    if reuse or gw:
-        c = dict(c)
     if reuse:
+        c = dict(c)
         c["compute"] = reuse_compute_schedule(n, reuse_every, reuse_head,
                                               reuse_tail)
-    if gw:
-        c["cfg_compute"] = cfg_window_schedule(n, *cfg_window)
     dev = lambda a, dt=jnp.float32: jnp.asarray(a, dt)
     coeffs = {k: dev(v, jnp.float32 if v.dtype != bool else jnp.bool_)
               for k, v in c.items() if k not in ("timestep", "idx")}
@@ -260,20 +254,36 @@ def vpsde_dpmpp2m_sample(
     prefix = x[:, :fixed_frames] if fixed_frames > 0 else None
     x = x.astype(jnp.float32)
 
-    scan_chunk = _dpmpp2m_chunk_program(denoise_fn, fixed_frames,
-                                        bool(sdedit), params is not None,
-                                        reuse, gw)
+    make_prog = lambda mode: _dpmpp2m_chunk_program(
+        denoise_fn, fixed_frames, bool(sdedit), params is not None, reuse,
+        mode)
+    if gw:
+        # STATIC window segmentation: contiguous runs of equal window
+        # membership each dispatch their own (full | cond-only) program —
+        # no per-step branching, the in-window program is the exact
+        # default one (see _dpmpp2m_chunk_program docstring)
+        mask = cfg_window_schedule(n, *cfg_window)
+        scan_full, scan_cond = make_prog("full"), make_prog("cond")
+        segments = []
+        s0 = 0
+        for i in range(1, n + 1):
+            if i == n or mask[i] != mask[s0]:
+                segments.append((s0, i, bool(mask[s0])))
+                s0 = i
+    else:
+        scan_full = make_prog("full")
+        segments = [(0, n, True)]
+
     if reuse:
         carry = (x, jnp.zeros_like(x), jnp.zeros_like(x), key)
     else:
         carry = (x, jnp.zeros_like(x), key)
-    if max_steps_per_call is None or max_steps_per_call >= n:
-        carry = scan_chunk(params, prefix, carry, coeffs, jnp.int32(0), m=n)
-    else:
-        k = max_steps_per_call
-        for s0 in range(0, n, k):
-            carry = scan_chunk(params, prefix, carry, coeffs, jnp.int32(s0),
-                               m=min(k, n - s0))
+    chunk = n if max_steps_per_call is None else max_steps_per_call
+    for seg_lo, seg_hi, in_window in segments:
+        prog = scan_full if in_window else scan_cond
+        for s0 in range(seg_lo, seg_hi, chunk):
+            m = min(chunk, seg_hi - s0)
+            carry = prog(params, prefix, carry, coeffs, jnp.int32(s0), m=m)
     x = carry[0]
     if prefix is not None:
         x = jnp.concatenate([prefix, x[:, fixed_frames:]], axis=1)

@@ -1,7 +1,10 @@
 """Guidance-window CFG (LANDIFF_CFG_WINDOW) — the training-free
 guidance-interval technique (full two-row CFG only inside a step window,
-cond-row-only outside; Kynkäänniemi et al. 2024), TPU-adapted as a per-step
-lax.cond in the DPM++2M scan (samplers._dpmpp2m_chunk_program gw variant).
+cond-row-only outside; Kynkäänniemi et al. 2024), TPU-adapted as STATIC
+window segmentation: contiguous window segments dispatch their own full /
+cond-only chunk programs (samplers._dpmpp2m_chunk_program row_mode) — a
+per-step lax.cond variant was measured slower than exact and replaced
+(PARITY.md).
 
 Quality-affecting and OFF by default; it windows the surface the reference
 always runs (DynamicCFG + two-row prepare_inputs, guiders.py:58-96). Pins:
