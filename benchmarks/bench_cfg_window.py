@@ -11,9 +11,9 @@ quality-affecting, opt-in, OFF by default — the reference always runs both
 CFG rows every step (guiders.py:58-96 + sampling.py prepare_inputs). See
 samplers.vpsde_dpmpp2m_sample(cfg_window=...).
 
-Warm passes use a 5-step schedule (same chunked-program keying argument as
-bench_step_reuse.py): chunk=5 compiles the exact m=5 executables — both
-lax.cond branches included — that the 50-step run dispatches.
+Warm = one full untimed production-schedule pass per mode (see the inline
+note: shorter warm schedules trace different executables and push the
+per-executable remote load into the timed window).
 
 Env: LANDIFF_BENCH_SCALE (shrink for CPU smoke),
      LANDIFF_BENCH_GW_STEPS (timed steps, default 50),
@@ -79,37 +79,25 @@ def main():
         main_p, ctrl_p, sem_p, d, cfg.sampler, t, cfg.semantic_cond,
         ctx, jnp.zeros_like(ctx), codes, compute_dtype=dt, attn_impl=attn)
 
-    warm_cfg = _config(chunk)
-
     def run(window, sampler_cfg, key=7):
         lat = engine.sample_latents(
             denoise_fn, sampler_cfg.sampler, d, key=jax.random.PRNGKey(key),
             bundle=bundle, max_steps_per_call=chunk, cfg_window=window)
         return np.asarray(lat, dtype=np.float32)
 
-    def warm_for(window):
-        """Compile every (row-mode, m) chunk program the timed windowed
-        run will dispatch (static window segmentation: full/cond programs
-        per segment, chunked at `chunk`), each on an m-step schedule."""
-        if window is None:
-            run(None, warm_cfg)
-            return
-        mask = samplers.cfg_window_schedule(n, *window)
-        combos, s0 = set(), 0
-        for i in range(1, n + 1):
-            if i == n or mask[i] != mask[s0]:
-                for c0 in range(s0, i, chunk):
-                    combos.add((bool(mask[s0]), min(chunk, i - c0)))
-                s0 = i
-        for in_window, m in sorted(combos):
-            # (0, m) = all-in-window -> the full program at length m;
-            # (0, 0) = empty window -> the cond-only program at length m
-            run((0, m) if in_window else (0, 0), _config(m))
-
+    # WARM = one full untimed production-schedule pass per mode. A cheap
+    # m-step warm schedule compiles DIFFERENT executables (the coefficient
+    # tables are traced at length m, the timed run traces them at length
+    # n), so each distinct (row-mode, m) chunk program would pay its first
+    # remote executable load (~30 s through the axon tunnel) INSIDE the
+    # timed window — the windowed phase dispatches 5 distinct executables
+    # vs the exact phase's 1, which skewed two earlier measurements of
+    # this bench (PARITY.md). Full-schedule warm loads exactly the timed
+    # executables.
     results = {}
     lats = {}
     for mode, w in (("exact", None), ("windowed", (lo, hi))):
-        warm_for(w)
+        run(w, cfg)  # compile + load the exact executables, untimed
         t0 = time.time()
         lats[mode] = run(w, cfg)
         results[mode] = time.time() - t0

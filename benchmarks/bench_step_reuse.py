@@ -11,10 +11,11 @@ The reuse feature is the FORA/TeaCache family of training-free DiT caches
 the network every step (sampling.py:678-837). See
 samplers.vpsde_dpmpp2m_sample and DEPLOYMENT.md.
 
-Warm passes use a 5-step schedule: with chunk=5 the chunked-scan program is
-keyed on (denoise_fn, m=5) and the per-step coefficients are traced inputs,
-so a 5-step warm compiles the exact SAME executables the 50-step timed run
-uses at a tenth of the device time.
+Warm = one full untimed production-schedule pass per mode. (A 5-step warm
+schedule compiles a DIFFERENT executable — the coefficient tables are
+traced at length 5 vs length 50 — so the timed pass would pay the first
+remote executable load, ~30-50 s through the axon tunnel, inside its
+window; measured r5, see bench_cfg_window.py and PARITY.md.)
 
 Env: LANDIFF_BENCH_SCALE (shrink the model for CPU smoke),
      LANDIFF_BENCH_REUSE_STEPS (timed steps, default 50),
@@ -79,8 +80,6 @@ def main():
         main_p, ctrl_p, sem_p, d, cfg.sampler, t, cfg.semantic_cond,
         ctx, jnp.zeros_like(ctx), codes, compute_dtype=dt, attn_impl=attn)
 
-    warm_cfg = _config(chunk)
-
     def run(reuse_every, sampler_cfg, key=7):
         lat = engine.sample_latents(
             denoise_fn, sampler_cfg.sampler, d, key=jax.random.PRNGKey(key),
@@ -90,7 +89,7 @@ def main():
     results = {}
     lats = {}
     for mode, r in (("exact", 0), (f"reuse_{k}", k)):
-        run(r, warm_cfg)  # compile the m=5 chunk program for this variant
+        run(r, cfg)  # compile + load the exact timed executables, untimed
         t0 = time.time()
         lats[mode] = run(r, cfg)
         results[mode] = time.time() - t0

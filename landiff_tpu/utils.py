@@ -24,18 +24,17 @@ logger = logging.getLogger("landiff_tpu")
 #     weight-only int8 stage-1 decode (8.3 s vs 11.7 s measured,
 #     tests/test_fast_preset.py gates the combination).
 #   level 2 ("turbo"): level 1 + the quality-traded SCHEDULE accelerators
-#     measured at production shape (r5): cross-step model-output reuse
-#     (LANDIFF_STEP_REUSE=2 — 1.52x the diffusion phase, latent corr
-#     0.9995 vs exact, benchmarks/bench_step_reuse.py). The guidance
-#     window (LANDIFF_CFG_WINDOW) is NOT in the preset: measured SLOWER
-#     than exact at production shape (284.7 vs 244.8 s — the B=1
-#     cond-only row doesn't halve the step and the two-branch program
-#     perturbs the full path; PARITY.md numbered rejection). The knob
-#     stays available for its published QUALITY motivation.
+#     measured at production shape (r5, benchmarks/bench_step_reuse.py /
+#     bench_cfg_window.py, PARITY.md): cross-step model-output reuse
+#     (LANDIFF_STEP_REUSE=2 — 28/50 model calls, latent corr 0.9995 vs
+#     exact) and the guidance window (LANDIFF_CFG_WINDOW=2,44 — cond-only
+#     rows outside the interval, phase 204.4 s vs 222.1 exact = 1.087x,
+#     corr 0.99995; static segment programs, samplers.py).
 # An explicitly-set knob always wins over any preset level.
 _FAST_PRESET = {"LANDIFF_DIT_INT8": (1, True),
                 "LANDIFF_DECODE_INT8": (1, True)}
-_FAST_VALUES = {"LANDIFF_STEP_REUSE": (2, "2")}
+_FAST_VALUES = {"LANDIFF_STEP_REUSE": (2, "2"),
+                "LANDIFF_CFG_WINDOW": (2, "2,44")}
 
 
 def fast_level() -> int:

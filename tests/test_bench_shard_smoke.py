@@ -53,3 +53,11 @@ def test_step_reuse_bench_smoke():
     assert out["metric"] == "diffusion_phase_step_reuse"
     assert out["computed_steps"] == 7  # head3 + {3,5} + tail3 on 8 steps
     assert abs(out["latent_corr_vs_exact"]) <= 1.0
+
+
+def test_cfg_window_bench_smoke():
+    out = _run("bench_cfg_window.py", {"LANDIFF_BENCH_GW_STEPS": "8",
+                                       "LANDIFF_BENCH_GW_WINDOW": "2,6"})
+    assert out["metric"] == "diffusion_phase_cfg_window"
+    assert out["full_cfg_steps"] == 4
+    assert abs(out["latent_corr_vs_exact"]) <= 1.0

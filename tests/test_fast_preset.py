@@ -41,10 +41,10 @@ def test_env_flag_semantics(clean_env):
 
 def test_fast_level2_semantics(clean_env):
     """LANDIFF_FAST=2 ("turbo", r5): level-1 quantizations PLUS the
-    accepted schedule accelerator (STEP_REUSE=2 — 1.52x measured at
-    production shape, benchmarks/bench_step_reuse.py). Explicit settings
-    always win; level 1 does NOT enable the schedule knobs; CFG_WINDOW
-    stays out of the preset (rejected on measurement)."""
+    accepted schedule accelerators (STEP_REUSE=2 and CFG_WINDOW=2,44 —
+    both measured at production shape, benchmarks/bench_step_reuse.py /
+    bench_cfg_window.py). Explicit settings always win; level 1 does NOT
+    enable the schedule knobs."""
     from landiff_tpu.utils import env_value, fast_level
 
     m = clean_env
@@ -54,9 +54,7 @@ def test_fast_level2_semantics(clean_env):
     assert fast_level() == 2
     assert env_flag("LANDIFF_DIT_INT8") is True  # level-1 knobs included
     assert env_value("LANDIFF_STEP_REUSE", "0") == "2"
-    # CFG_WINDOW is NOT in the preset (measured slower at production
-    # shape — PARITY.md rejection); it stays a manual quality knob
-    assert env_value("LANDIFF_CFG_WINDOW", "") == ""
+    assert env_value("LANDIFF_CFG_WINDOW", "") == "2,44"
     m.setenv("LANDIFF_STEP_REUSE", "0")  # explicit beats the preset
     assert env_value("LANDIFF_STEP_REUSE", "0") == "0"
     m.delenv("LANDIFF_STEP_REUSE")
@@ -69,9 +67,9 @@ def test_fast_level2_semantics(clean_env):
 
 def test_fast_level2_compound_drift(clean_env):
     """FAST=2 end-to-end on the tiny stage-2 pipeline: the combined
-    W8A8 + step-reuse sampling must stay correlated with the exact run
-    (tiny-scale gate; production-shape numbers live in
-    bench_step_reuse.py + PARITY.md)."""
+    W8A8 + step-reuse + guidance-window sampling must stay correlated
+    with the exact run (tiny-scale gate; production-shape numbers live in
+    bench_step_reuse.py / bench_cfg_window.py + PARITY.md)."""
     from landiff_tpu.pipeline import dif_infer
 
     m = clean_env
