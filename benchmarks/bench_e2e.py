@@ -192,6 +192,10 @@ def main():
         "baseline_phases_est": a100_est,
         "phases": {k: round(v, 2) for k, v in results.items()},
     }
+    from landiff_tpu.utils import fast_level
+
+    if fast_level():
+        record["preset"] = f"LANDIFF_FAST={fast_level()}"
     # driver-consumable per-phase artifact
     out_path = os.environ.get(
         "LANDIFF_E2E_JSON",
