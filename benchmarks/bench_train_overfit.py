@@ -54,12 +54,50 @@ def main():
     main_p = dit_lib.init(ks[0], cfg.dit, dtype=dt)
     ctrl_p = dit_lib.init(ks[1], cfg.dit, control=True, dtype=dt)
     sem_p = sc_lib.init(ks[2], cfg.tokenizer, cfg.semantic_cond, dtype=dt)
+    # LANDIFF_OVERFIT_F32=1: f32 MASTER weights for the trainable branch
+    # (compute stays bf16 — weights cast at use, the repo dtype policy).
+    # bf16 masters stall once updates shrink below ~0.4% of the param
+    # (8-bit mantissa rounds them away): the bf16 run plateaus at ~1.65x
+    # loss drop. +1.8 GB HBM for the 0.91B-param control branch.
+    f32_master = os.environ.get("LANDIFF_OVERFIT_F32") == "1"
+    if f32_master:
+        ctrl_p = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32), ctrl_p)
 
-    optimizer = optax.adafactor(lr)
+    # LANDIFF_OVERFIT_SR=1: stochastic-rounding bf16 updates
+    # (training/sr.py) — unbiased sub-ulp accumulation at zero extra HBM
+    sr = os.environ.get("LANDIFF_OVERFIT_SR") == "1"
+    # multiply_by_parameter_scale=False is REQUIRED for the zero-init
+    # ControlNet gates: the default scales each update by RMS(param), so
+    # zero-initialized zero_linear/adaln weights get ~epsilon-sized
+    # updates and the branch never leaves zero (measured: default
+    # adafactor flatlines at tiny scale while noscale/adam both learn
+    # 2x+ in 300 steps; the first production run's 1.68x-then-plateau was
+    # this, not an optimization floor). train.py's production chain uses
+    # adamw and never had the pathology; adafactor here is the 16 GB
+    # single-chip memory fallback.
+    # clip + warmup mirror train.py's chain: an unwarmed noscale run
+    # spiked to loss 11.7 by step 9, the huge grad**2 overflowed the f32
+    # factored second moment to inf, and updates became exactly 0 forever
+    # (loss bit-frozen at 0.99870 for 70+ steps — measured r5).
+    # peak lr is deliberately conservative: at 3e-3 the production run
+    # twice blew the zero-init gates up around warmup end (loss spike to
+    # 4.6-11.7) and then FROZE bit-exact at 0.99870 — the control
+    # contribution grows past ~256x the hidden stream, bf16 addition
+    # absorbs the stream exactly, and every gradient becomes exactly 0.
+    # Tiny/CPU cannot reproduce it (different magnitudes); 5e-4 stays
+    # below the cliff.
+    warmup = int(os.environ.get("LANDIFF_OVERFIT_WARMUP", "40"))
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup_steps=warmup, decay_steps=n_steps,
+        end_value=lr / 10)
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adafactor(sched, multiply_by_parameter_scale=False))
     opt_state = optimizer.init(ctrl_p)
     step = diffusion_loss.make_train_step(
         optimizer, cfg.dit, cfg.sampler, cfg.tokenizer, cfg.semantic_cond,
-        compute_dtype=dt, remat=True)
+        compute_dtype=dt, remat=True, sr_updates=sr)
     step = jax.jit(step, donate_argnums=(0, 1))
 
     d = cfg.dit
@@ -101,6 +139,8 @@ def main():
         "steps": n_steps,
         "lr": lr,
         "optimizer": "adafactor",
+        "master_dtype": "f32" if f32_master else (
+            "bf16_sr" if sr else "bf16"),
         "fixed_key_cycle": n_keys,
         "loss_first": round(l0, 5),
         "loss_final": round(l_final, 5),

@@ -96,10 +96,18 @@ def video_diffusion_loss(main_params, control_params, sem_params,
 
 def make_train_step(optimizer, dit_cfg, sampler_cfg, tok_cfg, sem_cfg, *,
                     fixed_frames: int = 0, compute_dtype=jnp.bfloat16,
-                    remat: bool = True, ucg_rate: float = 0.0):
+                    remat: bool = True, ucg_rate: float = 0.0,
+                    sr_updates: bool = False):
     """ControlNet training step: grads w.r.t. the control branch only
     (freeze_dit semantics). ucg_rate trains CFG via per-sample context
-    zeroing (see video_diffusion_loss)."""
+    zeroing (see video_diffusion_loss).
+
+    sr_updates=True applies parameter updates with stochastic rounding
+    on bf16 leaves (training/sr.py): lets pure-bf16 masters keep
+    learning past the round-to-nearest stall (~2^-8 relative updates)
+    without the +1.8 GB HBM an f32 master copy of the 0.91B-param
+    control branch costs — measured to OOM a 16 GB v5e by 125 MB
+    (TRAIN_OVERFIT.json)."""
 
     def loss_fn(control_params, main_params, sem_params, latents, context,
                 tokens, key):
@@ -118,7 +126,13 @@ def make_train_step(optimizer, dit_cfg, sampler_cfg, tok_cfg, sem_cfg, *,
                                               control_params)
         import optax
 
-        control_params = optax.apply_updates(control_params, updates)
+        if sr_updates:
+            from landiff_tpu.training.sr import apply_updates_sr
+
+            control_params = apply_updates_sr(
+                control_params, updates, jax.random.fold_in(key, 0x5B))
+        else:
+            control_params = optax.apply_updates(control_params, updates)
         return control_params, opt_state, loss
 
     return train_step
